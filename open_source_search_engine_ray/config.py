@@ -1,0 +1,79 @@
+"""Engine configuration: the scoring/indexing contract.
+
+The reference exposes ~1,000 runtime parameters (``Parms.cpp``); this engine
+keeps the ones that define the indexing + BM25 scoring contract.  Field
+weights are the analogue of the reference's hashGroup weights
+(``Parms.cpp:3730-3875``: body=1, title=8, ...) with roles/tools of a
+transcript turn playing the role of hashGroups
+(``XmlDoc_Indexing.cpp:222-462`` routes text streams to hashGroups; here the
+router is ``role``/``tool`` → field id).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field, asdict
+
+# field ids (hashGroup analogue, Posdb.h:76-88)
+FIELD_USER = 0
+FIELD_ASSISTANT = 1
+FIELD_TOOL = 2
+FIELD_SYSTEM = 3
+NUM_FIELDS = 4
+
+FIELD_NAMES = {"user": FIELD_USER, "assistant": FIELD_ASSISTANT,
+               "tool": FIELD_TOOL, "system": FIELD_SYSTEM}
+
+# positions: pos = turn_idx * TURN_STRIDE + token_ordinal_in_turn.
+# The reference assigns a monotone word-position cursor with a +100 gap
+# between sections (XmlDoc.cpp:20055-20142, XmlDoc_Indexing.cpp:2082) and
+# caps word positions at 18 bits (Posdb.h:67).  A fixed per-turn stride makes
+# position assignment embarrassingly parallel per turn (no cross-turn scan)
+# while keeping positions globally consistent per document; tokens beyond the
+# stride are clamped (truncation analogue of the reference's 18-bit cap).
+TURN_STRIDE = 2048
+
+
+@dataclass
+class IndexConfig:
+    # BM25 parameters (the scoring contract; see functions/bm25.py)
+    k1: float = 1.2
+    b: float = 0.75
+    # per-field weights: analogue of hashGroup weights Parms.cpp:3730-3875
+    field_weights: tuple = (1.0, 1.0, 0.5, 0.25)  # user, assistant, tool, system
+    # weight of bigram ("phrase") boost terms, analogue of
+    # bigramWeight (Parms.cpp:3879-3886, default 5.0 in the reference's
+    # 100-scaled proximity model; here a fraction of the BM25 single-term
+    # contribution)
+    bigram_weight: float = 0.5
+    # number of hash partitions for the posting-list shuffle
+    num_partitions: int = 32
+    # hot-term salting (north rule): terms with estimated df above this
+    # fraction of N docs get their postings split across `num_salts` groups
+    hot_df_ratio: float = 0.05
+    num_salts: int = 8
+    # postings per block for block-max metadata (WAND pruning)
+    block_size: int = 128
+    # index bigram phrase terms (Phrases.cpp analogue)
+    index_bigrams: bool = True
+    # cap on positions stored per (term, doc) — wide-row guard
+    max_positions_per_doc: int = 256
+
+    def config_hash(self) -> str:
+        return hashlib.sha256(
+            json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = IndexConfig()
+
+
+def role_tool_to_field(role: str, tool) -> int:
+    """Field router (hashGroup router analogue, XmlDoc_Indexing.cpp:222-462).
+
+    role=tool or a non-null tool column → FIELD_TOOL; unknown roles fall back
+    to FIELD_USER.
+    """
+    if tool is not None and tool == tool and tool != "":
+        return FIELD_TOOL
+    return FIELD_NAMES.get(role, FIELD_USER)

@@ -1,0 +1,212 @@
+"""Distributed index build — the flagship Ray Data pipeline.
+
+    transcripts ──map_batches(TurnStats)────────▶ groupby(doc_id) ─▶ doc stats
+        │                                             (N, avgdl, dl table)
+        ├─map_batches(TokenizePostings actors)──▶ posting partials
+        │        (dl via broadcast lookup, shard = term%P ⊕ hot-term salt)
+        └──────────▶ groupby(shard).map_groups(encode+write segment)
+                         └─ per-shard manifest (lineage+metrics, resumable)
+
+Pipeline lifecycle mirrors the reference's index path
+(``SpiderLoop → XmlDoc::indexDoc → hashAll → Msg4 shard routing → Rdb``
+, SURVEY.md §3.1) re-expressed Ray-Data-first: the Msg4 shard router is the
+``shard`` column + ``groupby``; the LSM buffer + dump is ``encode_shard`` +
+atomic segment write; ``RdbBase::attemptMerge`` becomes a later-generation
+compaction job (index/merge.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import asdict
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import IndexConfig, NUM_FIELDS
+from ..functions.tokenizer import TokenHashCache, terms_for_texts
+from ..functions.ghash import TERMID_MASK
+from ..stages.tokenize import TurnStats, TokenizePostings
+from . import manifest as mf
+from .segments import encode_shard, write_segment
+
+
+def _fingerprint(input_token: str, config: IndexConfig) -> str:
+    return hashlib.sha256(
+        (input_token + "|" + config.config_hash()).encode()).hexdigest()[:24]
+
+
+def compute_doc_stats(transcripts_ds, config: IndexConfig, out_dir: str):
+    """Pass 1: per-doc field lengths + global N / avgdl (exact int sums)."""
+    from ray.data.aggregate import Sum, Min
+
+    stats = transcripts_ds.map_batches(
+        TurnStats, fn_constructor_kwargs={"config": config},
+        batch_format="pyarrow", concurrency=(1, 8))
+    aggs = [Sum("dl_q", alias_name="dl_q"), Min("conv_id", alias_name="conv_id")]
+    aggs += [Sum(f"len_f{f}", alias_name=f"len_f{f}") for f in range(NUM_FIELDS)]
+    per_doc = stats.groupby("doc_id").aggregate(*aggs)
+    path = os.path.join(out_dir, "docstats")
+    os.makedirs(path, exist_ok=True)
+    per_doc.write_parquet(path)
+    return path
+
+
+def load_doc_stats(out_dir: str):
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(os.path.join(out_dir, "docstats"),
+                       format="parquet").to_table()
+    doc_ids = tbl["doc_id"].to_numpy().astype(np.uint64)
+    dl_q = tbl["dl_q"].to_numpy().astype(np.int64)
+    order = np.argsort(doc_ids)
+    return tbl, doc_ids[order], (dl_q[order].astype(np.float64) / 4.0).astype(np.float32), dl_q
+
+def estimate_hot_terms(transcripts_ds, config: IndexConfig,
+                       sample_turns: int = 20_000) -> np.ndarray:
+    """Sample-based hot-term detection for salted repartitioning.
+
+    The Zipf head is stable under a prefix sample; a term is "hot" when it
+    occurs in more than ``hot_df_ratio`` of sampled turns (the analogue of
+    the reference's 30MB termlist cap + high-frequency-term shortcuts,
+    ``PosdbTable.cpp:1975-1981``, ``HighFrequencyTermShortcuts.h``).
+    """
+    sample = transcripts_ds.limit(sample_turns)
+    texts = [r["text"] or "" for r in sample.take_all()]
+    if not texts:
+        return np.zeros(0, dtype=np.uint64)
+    cache = TokenHashCache()
+    rows, terms, _, _ = terms_for_texts(texts, cache,
+                                        index_bigrams=config.index_bigrams)
+    # distinct (row, term) → per-turn presence counts
+    key = rows.astype(np.uint64) * (np.uint64(1) << np.uint64(48)) ^ terms
+    _, first_idx = np.unique(key, return_index=True)
+    uniq_terms, counts = np.unique(terms[first_idx], return_counts=True)
+    thresh = max(2.0, config.hot_df_ratio * len(texts))
+    hot = uniq_terms[counts >= thresh]
+    return np.sort(hot.astype(np.uint64))
+
+
+def _make_segment_group_fn(out_dir: str, config: IndexConfig, avgdl: float,
+                           fingerprint: str, done: frozenset[int],
+                           generation: int = 0):
+    p = config.num_partitions
+    s = config.num_salts
+
+    def build_group(batch: pa.Table) -> pa.Table:
+        t0 = time.time()
+        shard = int(batch["shard"][0].as_py())
+        empty = pa.table({"shard": pa.array([shard], pa.int32()),
+                          "n_terms": pa.array([0], pa.int64()),
+                          "n_postings": pa.array([0], pa.int64()),
+                          "skipped": pa.array([True], pa.bool_())})
+        if shard in done:
+            return empty
+        salt = (shard - p) % s if shard >= p else 0
+        seg = encode_shard(batch, config, salt, avgdl)
+        path = mf.segment_path(out_dir, shard, generation)
+        write_segment(seg, path)
+        n_postings = int(pa.compute.sum(seg["df"]).as_py() or 0)
+        mf.write_manifest(out_dir, shard, fingerprint=fingerprint,
+                          n_terms=seg.num_rows, n_postings=n_postings,
+                          bytes_written=os.path.getsize(path),
+                          wall_sec=time.time() - t0,
+                          salt=salt if shard >= p else None,
+                          generation=generation)
+        return pa.table({"shard": pa.array([shard], pa.int32()),
+                         "n_terms": pa.array([seg.num_rows], pa.int64()),
+                         "n_postings": pa.array([n_postings], pa.int64()),
+                         "skipped": pa.array([False], pa.bool_())})
+
+    return build_group
+
+
+def build_index(transcripts_ds_factory, out_dir: str,
+                config: IndexConfig | None = None, *,
+                input_token: str, resume: bool = False,
+                write_docstore: bool = True) -> dict:
+    """Build the inverted index.  ``transcripts_ds_factory`` is a zero-arg
+    callable returning a fresh Dataset over the input (the build reads the
+    input twice: doc-stats pass and postings pass; a Dataset cannot be
+    consumed twice without re-planning)."""
+    import ray
+
+    config = config or IndexConfig()
+    fingerprint = _fingerprint(input_token, config)
+    os.makedirs(out_dir, exist_ok=True)
+    t_start = time.time()
+
+    # pass 1: doc stats
+    compute_doc_stats(transcripts_ds_factory(), config, out_dir)
+    stats_tbl, doc_ids_sorted, dl32, dl_q = load_doc_stats(out_dir)
+    n_docs = len(doc_ids_sorted)
+    total_dlq = int(dl_q.sum())
+    avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(n_docs))
+    dl_ref = ray.put((doc_ids_sorted, dl32))
+
+    # hot terms (salted repartitioning)
+    hot_terms = estimate_hot_terms(transcripts_ds_factory(), config)
+    hot_ref = ray.put(hot_terms)
+
+    done = frozenset(mf.completed_shards(out_dir, fingerprint) if resume else ())
+
+    # pass 2: postings shuffle → segments
+    postings = transcripts_ds_factory().map_batches(
+        TokenizePostings,
+        fn_constructor_kwargs={"config": config, "dl_ref": dl_ref,
+                               "hot_ref": hot_ref},
+        batch_format="pyarrow", concurrency=(1, 16))
+    group_fn = _make_segment_group_fn(out_dir, config, avgdl, fingerprint,
+                                      done)
+    summary = postings.groupby("shard").map_groups(
+        group_fn, batch_format="pyarrow").take_all()
+
+    # doc store (per-turn text equality invariant): transcripts + doc_id,
+    # partitioned parquet
+    if write_docstore:
+        from ..stages.tokenize import _doc_ids_for_column
+
+        def add_doc_id(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "doc_id", pa.array(_doc_ids_for_column(b["conv_id"]),
+                                   pa.uint64()))
+        store_dir = os.path.join(out_dir, "docstore")
+        transcripts_ds_factory().map_batches(
+            add_doc_id, batch_format="pyarrow").write_parquet(store_dir)
+
+    meta = {
+        "version": 1,
+        "generation": 0,
+        "fingerprint": fingerprint,
+        "input_token": input_token,
+        "config": asdict(config),
+        "config_hash": config.config_hash(),
+        "n_docs": n_docs,
+        "total_dlq": total_dlq,
+        "avgdl": avgdl,
+        "hot_terms": [int(t) for t in hot_terms],
+        "num_partitions": config.num_partitions,
+        "num_salts": config.num_salts,
+        "built_shards": sorted(int(r["shard"]) for r in summary),
+        # stats for skipped (resumed) shards come from their manifests
+        "n_postings": int(sum(
+            (mf.read_manifest(out_dir, int(r["shard"])) or {}).get("n_postings", 0)
+            if r["skipped"] else r["n_postings"] for r in summary)),
+        "n_terms": int(sum(
+            (mf.read_manifest(out_dir, int(r["shard"])) or {}).get("n_terms", 0)
+            if r["skipped"] else r["n_terms"] for r in summary)),
+        "build_wall_sec": round(time.time() - t_start, 3),
+    }
+    tmp = os.path.join(out_dir, "index_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "index_meta.json"))
+    return meta
+
+
+def load_meta(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "index_meta.json")) as f:
+        return json.load(f)

@@ -1,0 +1,202 @@
+"""Posting-list segment files: encode (build side) and read (query side).
+
+A segment file is one Parquet file per shuffle shard holding one row per
+(term_id, salt): delta+varbyte docId gaps, per-field varbyte tfs, float32
+doc lengths, nested varbyte positions, and float32 per-block max impacts —
+the columnar analogue of the reference's prefix-compressed termlists
+(``Posdb.h:230-235``, ``RdbList.h:13-47``) plus the block-max metadata that
+replaces per-candidate upper-bound scans (``PosdbTable.cpp:4102-4264``).
+
+Rows are sorted by term_id and written with small row groups so the query
+side prunes to the row groups containing the requested terms (the RdbMap
+16KB page-index analogue, ``RdbMap.h:1-50``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import IndexConfig, NUM_FIELDS
+from ..functions import varbyte
+from ..functions.bm25 import max_block_impact
+
+SEGMENT_SCHEMA = pa.schema([
+    ("term_id", pa.uint64()),
+    ("salt", pa.int32()),
+    ("df", pa.int64()),
+    ("cf", pa.int64()),
+    ("max_tfq", pa.int64()),
+    ("doc_blob", pa.large_binary()),
+    ("dl_blob", pa.large_binary()),
+    ("tf_blobs", pa.list_(pa.large_binary(), NUM_FIELDS)),
+    ("pos_blob", pa.large_binary()),
+    ("bm_blob", pa.large_binary()),
+])
+
+
+def encode_shard(postings: pa.Table, config: IndexConfig, salt: int,
+                 avgdl: float) -> pa.Table:
+    """Encode one shard's posting partials into segment rows.
+
+    ``postings`` columns: term_id, doc_id, field, tf, positions, dl.
+    Partials with the same (term, doc) from different turns/batches are
+    merged here (tf summed per field, positions concatenated sorted) — the
+    posting-merge analogue of ``RdbList::posdbMerge_r``.
+    """
+    if postings.num_rows == 0:
+        return SEGMENT_SCHEMA.empty_table()
+    term = postings["term_id"].to_numpy().astype(np.uint64)
+    doc = postings["doc_id"].to_numpy().astype(np.uint64)
+    field = postings["field"].to_numpy().astype(np.int64)
+    tf = postings["tf"].to_numpy().astype(np.int64)
+    dl = postings["dl"].to_numpy().astype(np.float32)
+    pos_col = postings["positions"].combine_chunks()
+    if isinstance(pos_col, pa.ChunkedArray):
+        pos_col = pos_col.combine_chunks()
+    pos_offsets = pos_col.offsets.to_numpy().astype(np.int64)
+    pos_values = pos_col.values.to_numpy().astype(np.int64)
+
+    order = np.lexsort((field, doc, term))
+    term, doc, field, tf, dl = (term[order], doc[order], field[order],
+                                tf[order], dl[order])
+
+    # (term, doc) group boundaries
+    new_td = np.empty(len(term), dtype=bool)
+    new_td[0] = True
+    new_td[1:] = (term[1:] != term[:-1]) | (doc[1:] != doc[:-1])
+    td_starts = np.flatnonzero(new_td)
+    td_id = np.cumsum(new_td) - 1           # group index per row
+    n_td = len(td_starts)
+
+    # per-(term,doc) per-field tf matrix
+    tfs = np.zeros((n_td, NUM_FIELDS), dtype=np.int64)
+    np.add.at(tfs, (td_id, field), tf)
+    g_term = term[td_starts]
+    g_doc = doc[td_starts]
+    g_dl = dl[td_starts]
+
+    # weighted tf in exact quarters (see functions/bm25.py contract)
+    wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
+                    dtype=np.int64)
+    tfq = tfs @ wq
+
+    # positions per (term,doc): concatenate source lists in row order
+    # (sorted by (term,doc,field); within each original list positions are
+    # ascending, and lists from different turns don't interleave-sort —
+    # we re-sort the concatenation per group)
+    row_pos_lens = pos_offsets[1:] - pos_offsets[:-1]
+    row_pos_lens = row_pos_lens[order]
+    src_starts = pos_offsets[:-1][order]
+    flat_idx = np.repeat(src_starts, row_pos_lens) + _ragged_arange(row_pos_lens)
+    flat_pos = pos_values[flat_idx]
+    grp_of_pos = np.repeat(td_id, row_pos_lens)
+    pos_order = np.lexsort((flat_pos, grp_of_pos))
+    flat_pos = flat_pos[pos_order]
+    grp_pos_counts = np.zeros(n_td, dtype=np.int64)
+    np.add.at(grp_pos_counts, grp_of_pos, 1)
+    grp_pos_offsets = np.concatenate([[0], np.cumsum(grp_pos_counts)])
+
+    # term boundaries over the (term,doc) groups
+    new_t = np.empty(n_td, dtype=bool)
+    new_t[0] = True
+    new_t[1:] = g_term[1:] != g_term[:-1]
+    t_starts = np.flatnonzero(new_t)
+    t_ends = np.append(t_starts[1:], n_td)
+
+    out = {k: [] for k in ("term_id", "salt", "df", "cf", "max_tfq",
+                           "doc_blob", "dl_blob", "tf_blobs", "pos_blob",
+                           "bm_blob")}
+    k1, b, bs = config.k1, config.b, config.block_size
+    for s, e in zip(t_starts, t_ends):
+        docs = g_doc[s:e]
+        dls = g_dl[s:e]
+        tfq_t = tfq[s:e]
+        out["term_id"].append(int(g_term[s]))
+        out["salt"].append(salt)
+        out["df"].append(int(e - s))
+        out["cf"].append(int(tfs[s:e].sum()))
+        out["max_tfq"].append(int(tfq_t.max()))
+        out["doc_blob"].append(varbyte.encode_deltas(docs))
+        out["dl_blob"].append(dls.astype("<f4").tobytes())
+        out["tf_blobs"].append([varbyte.encode(tfs[s:e, f])
+                                for f in range(NUM_FIELDS)])
+        plists = [flat_pos[grp_pos_offsets[g]:grp_pos_offsets[g + 1]]
+                  for g in range(s, e)]
+        out["pos_blob"].append(varbyte.encode_nested(plists))
+        bm = max_block_impact(tfq_t.astype(np.float64) / 4.0, dls,
+                              avgdl, k1, b, bs)
+        out["bm_blob"].append(bm.astype("<f4").tobytes())
+    return pa.table(out, schema=SEGMENT_SCHEMA)
+
+
+def _ragged_arange(lens: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ids = np.arange(total, dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return ids - np.repeat(offs, lens)
+
+
+def write_segment(table: pa.Table, path: str) -> None:
+    """Idempotent write: tmp file + atomic rename (the ``*.writing`` →
+    final-name pattern of ``RdbBase``)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".writing.%d" % os.getpid()
+    pq.write_table(table, tmp, row_group_size=512, compression="zstd")
+    os.replace(tmp, path)
+
+
+class SegmentReader:
+    """Reads term rows from a shard's segment file with row-group pruning
+    and an in-process decoded-list cache (page-cache / Msg5 analogue)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._pf = pq.ParquetFile(path)
+        self._rg_min: np.ndarray | None = None
+        self._rg_max: np.ndarray | None = None
+        self._load_rg_stats()
+
+    def _load_rg_stats(self):
+        mins, maxs = [], []
+        md = self._pf.metadata
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            st = col.statistics
+            mins.append(st.min if st else 0)
+            maxs.append(st.max if st else 2**64 - 1)
+        self._rg_min = np.asarray(mins, dtype=np.uint64)
+        self._rg_max = np.asarray(maxs, dtype=np.uint64)
+
+    def read_terms(self, term_ids: list[int]) -> pa.Table:
+        want = np.asarray(sorted(set(term_ids)), dtype=np.uint64)
+        rgs = [rg for rg in range(len(self._rg_min))
+               if ((want >= self._rg_min[rg]) & (want <= self._rg_max[rg])).any()]
+        if not rgs:
+            return SEGMENT_SCHEMA.empty_table()
+        tbl = self._pf.read_row_groups(rgs)
+        mask = pc.is_in(tbl["term_id"], value_set=pa.array(want, pa.uint64()))
+        return tbl.filter(mask)
+
+
+def decode_posting_row(row: dict, with_positions: bool = False) -> dict:
+    """Decode one segment row into numpy arrays."""
+    docs = varbyte.decode_deltas(row["doc_blob"])
+    dl = np.frombuffer(row["dl_blob"], dtype="<f4")
+    tfs = np.stack([varbyte.decode(blob).astype(np.int64)
+                    for blob in row["tf_blobs"]], axis=1)
+    out = {
+        "doc_ids": docs, "dl": dl, "tfs": tfs,
+        "df": row["df"], "cf": row["cf"], "max_tfq": row["max_tfq"],
+        "block_max": np.frombuffer(row["bm_blob"], dtype="<f4"),
+    }
+    if with_positions:
+        out["positions"] = varbyte.decode_nested(row["pos_blob"], len(docs))
+    return out

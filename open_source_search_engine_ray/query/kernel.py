@@ -1,0 +1,142 @@
+"""Shared query-evaluation kernel — ONE code path for the oracle and the
+distributed engine, so rank identity is float-for-float by construction.
+
+Evaluation (the docid-vote intersection + scoring of
+``PosdbTable::intersectLists``, SURVEY.md §2.5/§2.12, re-expressed):
+
+1. candidate generation: intersect required terms' docId lists starting
+   from the smallest df (``m_minTermListIdx`` / ``findCandidateDocIds``,
+   ``PosdbTable.cpp:1956-2068``); OR-union of positive terms when no term
+   is required;
+2. negative terms: sorted anti-join (``delDocIdVotes``);
+3. quoted phrases: positional adjacency filter (consecutive token
+   ordinals within a turn);
+4. scoring: BM25F contributions accumulated term-at-a-time in expansion
+   order (fixed float64 accumulation order — the rank-identity contract,
+   functions/bm25.py);
+5. top-k: (score desc, docId asc), ``Msg3a::mergeLists`` tie order.
+
+A term's postings arrive as ``TermPostings`` regardless of origin (decoded
+segment blobs in the engine, in-memory dicts in the oracle).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import IndexConfig
+from ..functions.bm25 import idf as bm25_idf, term_scores, topk_merge
+from .parse import ParsedQuery
+
+
+@dataclass
+class TermPostings:
+    doc_ids: np.ndarray            # uint64, sorted
+    tfs: np.ndarray                # (n, NUM_FIELDS) int64
+    dl: np.ndarray                 # float32
+    df: int                        # global df (sum over salt splits)
+    positions: list | None = None  # list of int arrays, parallel to doc_ids
+    block_max: np.ndarray | None = None  # float32 per block (engine only)
+
+
+def _tf_weighted(tp: TermPostings, field: int | None,
+                 wq: np.ndarray) -> np.ndarray:
+    if field is None:
+        return (tp.tfs @ wq).astype(np.float64) / 4.0
+    return tp.tfs[:, field].astype(np.float64)
+
+
+def _phrase_docs(chain: list[int], lists: dict[int, TermPostings | None]) -> np.ndarray:
+    """Docs where the phrase terms appear at consecutive positions."""
+    tps = [lists.get(t) for t in chain]
+    if any(tp is None or tp.positions is None for tp in tps):
+        return np.zeros(0, dtype=np.uint64)
+    cand = tps[0].doc_ids
+    for tp in tps[1:]:
+        cand = cand[np.isin(cand, tp.doc_ids, assume_unique=True)]
+    keep = []
+    for d in cand:
+        sets = []
+        ok = True
+        for tp in tps:
+            i = int(np.searchsorted(tp.doc_ids, d))
+            sets.append(tp.positions[i])
+        base = np.asarray(sets[0], dtype=np.int64)
+        for off, ps in enumerate(sets[1:], start=1):
+            ps = np.asarray(ps, dtype=np.int64)
+            base = base[np.isin(base + off, ps)]
+            if len(base) == 0:
+                ok = False
+                break
+        if ok and len(base):
+            keep.append(d)
+    return np.asarray(keep, dtype=np.uint64)
+
+
+def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
+             n_docs: int, avgdl: float, config: IndexConfig, k: int):
+    """→ (doc_ids desc-by-score, scores float64).  ``lists`` maps term_id →
+    TermPostings (or None when the term is absent from the index)."""
+    wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
+                    dtype=np.int64)
+
+    def docs_of(t) -> np.ndarray:
+        tp = lists.get(t.term_id)
+        if tp is None:
+            return np.zeros(0, dtype=np.uint64)
+        if t.field is not None:
+            return tp.doc_ids[tp.tfs[:, t.field] > 0]
+        return tp.doc_ids
+
+    positives = [t for t in query.terms if not t.negative and not t.is_bigram]
+    required = [t for t in positives if t.required]
+    negatives = [t for t in query.terms if t.negative]
+
+    if required:
+        # rarest-first intersection
+        req_docs = [(docs_of(t), t) for t in required]
+        req_docs.sort(key=lambda x: len(x[0]))
+        cand = req_docs[0][0]
+        for d, _ in req_docs[1:]:
+            if len(cand) == 0:
+                break
+            cand = cand[np.isin(cand, d, assume_unique=True)]
+    else:
+        arrs = [docs_of(t) for t in positives]
+        cand = (np.unique(np.concatenate(arrs)) if arrs
+                else np.zeros(0, dtype=np.uint64))
+
+    for t in negatives:
+        nd = docs_of(t)
+        if len(nd) and len(cand):
+            cand = cand[~np.isin(cand, nd, assume_unique=True)]
+
+    for chain in query.phrases:
+        pd = _phrase_docs(chain, lists)
+        cand = cand[np.isin(cand, pd, assume_unique=True)]
+
+    if len(cand) == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.float64)
+
+    scores = np.zeros(len(cand), dtype=np.float64)
+    scorable = [t for t in query.terms if not t.negative]
+    for t in scorable:
+        tp = lists.get(t.term_id)
+        if tp is None or tp.df == 0:
+            continue
+        idx = np.searchsorted(tp.doc_ids, cand)
+        idx_c = np.minimum(idx, len(tp.doc_ids) - 1)
+        present = tp.doc_ids[idx_c] == cand
+        if t.field is not None:
+            present &= tp.tfs[idx_c, t.field] > 0
+        if not present.any():
+            continue
+        sel = idx_c[present]
+        tfw = _tf_weighted(tp, t.field, wq)[sel]
+        iv = bm25_idf(tp.df, n_docs)
+        contrib = term_scores(tfw, tp.dl[sel], avgdl, config.k1, config.b,
+                              float(iv))
+        scores[present] += np.float64(t.weight) * contrib
+    return topk_merge(cand, scores, k)

@@ -1,0 +1,165 @@
+"""Query parser → term expansion (the ``Query::set`` analogue).
+
+Replicates the structure of the reference's query pipeline
+(``Query.cpp:103-140`` tokenize, ``Query.cpp:369-935`` setQTerms, SURVEY.md
+Appendix A) with this engine's contract:
+
+- the SAME tokenizer as indexing produces query tokens (``Query.cpp:262``);
+- single-word terms are *required* (docid-vote intersection,
+  ``PosdbTable.cpp:1847-2068``) unless they are query stopwords, which are
+  scored but optional (IGNORE_QSTOP, ``Query.h:139``); if every positive
+  term is optional the query is evaluated as OR;
+- ``-term`` excludes documents (``delDocIdVotes`` ``PosdbTable.cpp:4703``);
+  ``+term`` forces a stopword to be required;
+- ``"quoted phrase"`` terms are required and must appear at consecutive
+  positions (positional check; the reference only emits the quote-start
+  term, ``Query.cpp:599-610`` — this engine scores each phrase word and
+  filters by adjacency);
+- adjacent positive unquoted terms yield optional bigram *boost* terms with
+  the indexing-side phrase id rules (Appendix A class 1: bigrams are boost
+  sublists, never required), weighted ``config.bigram_weight``;
+- ``role:X`` / ``tool:X`` set the field scope for subsequent terms
+  (``title:`` field analogue, ``Query.h:35-104``): scoped terms score with
+  tf from that field only;
+- synonyms/variations (Appendix A class 3) are not implemented in v1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import FIELD_NAMES
+from ..functions.ghash import (TERMID_MASK, PHRASE_STOPWORD_XOR,
+                               hash64_lower_utf8, hash64_lower_utf8_cont)
+from ..functions.stopwords import STOPWORDS
+from ..functions.tokenizer import tokenize
+
+
+@dataclass
+class QTerm:
+    token: str
+    term_id: int
+    required: bool
+    negative: bool
+    is_bigram: bool
+    field: int | None = None     # None = all fields, weighted
+    weight: float = 1.0
+    quote_id: int = -1
+
+
+@dataclass
+class ParsedQuery:
+    raw: str
+    terms: list[QTerm] = field(default_factory=list)       # expansion order
+    phrases: list[list[int]] = field(default_factory=list)  # term_id chains
+
+
+def _is_query_stop(token: str) -> bool:
+    t = token.lower()
+    return t in STOPWORDS or (len(t) == 1 and t.isalpha())
+
+
+def parse_query(q: str, bigram_weight: float = 0.5) -> ParsedQuery:
+    out = ParsedQuery(raw=q)
+    # chunking: quotes, signs, field-scope directives
+    i, n = 0, len(q)
+    field_scope: int | None = None
+    # token-level stream with attributes, for bigram adjacency
+    stream: list[tuple[str, bool, bool, int, int | None, bool]] = []
+    # (token, negative, required_sign, quote_id, field, hyphen_to_next)
+    quote_id = -1
+    while i < n:
+        while i < n and q[i].isspace():
+            i += 1
+        if i >= n:
+            break
+        neg = req = False
+        if q[i] in "+-" and i + 1 < n and not q[i + 1].isspace():
+            neg = q[i] == "-"
+            req = q[i] == "+"
+            i += 1
+        if q[i] == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                j = n
+            quote_id += 1
+            body = q[i + 1:j]
+            toks, hyph, _ = tokenize(body)
+            for t_i, tok in enumerate(toks):
+                stream.append((tok, False, True, quote_id, field_scope,
+                               hyph[t_i]))
+            i = j + 1
+            continue
+        j = i
+        while j < n and not q[j].isspace() and q[j] != '"':
+            j += 1
+        chunk = q[i:j]
+        i = j
+        low = chunk.lower()
+        for fname in ("role", "tool"):
+            if low.startswith(fname + ":"):
+                value = low[len(fname) + 1:]
+                if fname == "role" and value in FIELD_NAMES:
+                    field_scope = FIELD_NAMES[value]
+                    chunk = ""
+                elif fname == "tool":
+                    # any tool value scopes to the tool field
+                    field_scope = FIELD_NAMES["tool"]
+                    chunk = ""
+                break
+        if not chunk:
+            continue
+        toks, hyph, _ = tokenize(chunk)
+        for t_i, tok in enumerate(toks):
+            stream.append((tok, neg, req, -1, field_scope, hyph[t_i]))
+
+    # single terms (expansion order: appearance order)
+    seen_ids: set[int] = set()
+    for tok, neg, req, qid, fscope, _hyph in stream:
+        wid = hash64_lower_utf8(tok)
+        tid = int(np.uint64(wid) & TERMID_MASK)
+        is_stop = _is_query_stop(tok)
+        required = (qid >= 0) or req or (not is_stop)
+        if neg:
+            out.terms.append(QTerm(tok, tid, False, True, False, fscope))
+            continue
+        if tid in seen_ids and qid < 0:
+            continue  # ignored repeat (Query.cpp:594 analogue)
+        seen_ids.add(tid)
+        out.terms.append(QTerm(tok, tid, required, False, False, fscope,
+                               1.0, qid))
+
+    # bigram boost terms between adjacent positive tokens (same quote or
+    # both unquoted), using the indexing-side phrase rules
+    seen_bigrams: set[int] = set()
+    for a, b in zip(range(len(stream) - 1), range(1, len(stream))):
+        tok1, neg1, _, qid1, fs1, hyph1 = stream[a]
+        tok2, neg2, _, qid2, fs2, _ = stream[b]
+        if neg1 or neg2 or qid1 != qid2:
+            continue
+        wid1 = hash64_lower_utf8(tok1)
+        h2, _ = hash64_lower_utf8_cont(tok2, wid1,
+                                       len(tok1.encode("utf-8")))
+        is_num = tok1[0].isdigit()
+        stop2 = (tok2.lower() in STOPWORDS or
+                 (len(tok2) == 1 and tok2.isalpha()))
+        has_hyphen = hyph1 and not is_num
+        if (not has_hyphen) and stop2:
+            h2 = int(np.uint64(h2) ^ PHRASE_STOPWORD_XOR)
+        tid = int(np.uint64(h2) & TERMID_MASK)
+        if tid in seen_bigrams:
+            continue
+        seen_bigrams.add(tid)
+        out.terms.append(QTerm(f"{tok1} {tok2}", tid, False, False, True,
+                               fs1, bigram_weight, qid1))
+
+    # quoted phrase chains for the positional adjacency filter
+    if quote_id >= 0:
+        for qid in range(quote_id + 1):
+            chain = [t.term_id for t in out.terms
+                     if t.quote_id == qid and not t.is_bigram]
+            if len(chain) >= 2:
+                out.phrases.append(chain)
+    return out
