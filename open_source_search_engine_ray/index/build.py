@@ -39,8 +39,36 @@ def _fingerprint(input_token: str, config: IndexConfig) -> str:
         (input_token + "|" + config.config_hash()).encode()).hexdigest()[:24]
 
 
+def _stage_manifest_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, "manifests", f"stage-{stage}.json")
+
+
+def _stage_complete(out_dir: str, stage: str, fingerprint: str) -> bool:
+    path = _stage_manifest_path(out_dir, stage)
+    if not os.path.exists(path):
+        return False
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        return bool(doc.get("complete")) and doc.get("fingerprint") == fingerprint
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def _mark_stage(out_dir: str, stage: str, fingerprint: str, **metrics) -> None:
+    path = _stage_manifest_path(out_dir, stage)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp.%d" % os.getpid()
+    with open(tmp, "w") as f:
+        json.dump({"stage": stage, "fingerprint": fingerprint,
+                   "complete": True, "written_at": time.time(), **metrics}, f)
+    os.replace(tmp, path)
+
+
 def compute_doc_stats(transcripts_ds, config: IndexConfig, out_dir: str):
     """Pass 1: per-doc field lengths + global N / avgdl (exact int sums)."""
+    import shutil
+
     from ray.data.aggregate import Sum, Min
 
     stats = transcripts_ds.map_batches(
@@ -50,6 +78,7 @@ def compute_doc_stats(transcripts_ds, config: IndexConfig, out_dir: str):
     aggs += [Sum(f"len_f{f}", alias_name=f"len_f{f}") for f in range(NUM_FIELDS)]
     per_doc = stats.groupby("doc_id").aggregate(*aggs)
     path = os.path.join(out_dir, "docstats")
+    shutil.rmtree(path, ignore_errors=True)  # write_parquet appends otherwise
     os.makedirs(path, exist_ok=True)
     per_doc.write_parquet(path)
     return path
@@ -139,8 +168,10 @@ def build_index(transcripts_ds_factory, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.time()
 
-    # pass 1: doc stats
-    compute_doc_stats(transcripts_ds_factory(), config, out_dir)
+    # pass 1: doc stats (its own resumable checkpoint stage)
+    if not (resume and _stage_complete(out_dir, "docstats", fingerprint)):
+        compute_doc_stats(transcripts_ds_factory(), config, out_dir)
+        _mark_stage(out_dir, "docstats", fingerprint)
     stats_tbl, doc_ids_sorted, dl32, dl_q = load_doc_stats(out_dir)
     n_docs = len(doc_ids_sorted)
     total_dlq = int(dl_q.sum())
@@ -166,7 +197,10 @@ def build_index(transcripts_ds_factory, out_dir: str,
 
     # doc store (per-turn text equality invariant): transcripts + doc_id,
     # partitioned parquet
-    if write_docstore:
+    if write_docstore and not (resume and
+                               _stage_complete(out_dir, "docstore", fingerprint)):
+        import shutil
+
         from ..stages.tokenize import _doc_ids_for_column
 
         def add_doc_id(b: pa.Table) -> pa.Table:
@@ -174,8 +208,10 @@ def build_index(transcripts_ds_factory, out_dir: str,
                 "doc_id", pa.array(_doc_ids_for_column(b["conv_id"]),
                                    pa.uint64()))
         store_dir = os.path.join(out_dir, "docstore")
+        shutil.rmtree(store_dir, ignore_errors=True)
         transcripts_ds_factory().map_batches(
             add_doc_id, batch_format="pyarrow").write_parquet(store_dir)
+        _mark_stage(out_dir, "docstore", fingerprint)
 
     meta = {
         "version": 1,

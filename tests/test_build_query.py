@@ -1,0 +1,154 @@
+"""End-to-end invariants (FIXTURES.md §4): per-turn text equality, rank
+identity vs the oracle, determinism across parallelism, salting
+transparency, resume correctness."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pytest
+
+from open_source_search_engine_ray.config import IndexConfig
+from open_source_search_engine_ray.index.build import build_index, load_meta
+from open_source_search_engine_ray.query.engine import IndexSearcher
+from open_source_search_engine_ray.query.oracle import OracleIndex
+from open_source_search_engine_ray.sources.queryset import query_set
+from open_source_search_engine_ray.sources.transcripts import (
+    transcripts_dataset, transcripts_table)
+
+N_CONV = 300
+IDX = "/tmp/osse_test_idx"
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session):
+    shutil.rmtree(IDX, ignore_errors=True)
+    meta = build_index(lambda: transcripts_dataset(N_CONV), IDX,
+                       input_token=f"synthetic:n={N_CONV}")
+    return meta
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleIndex(transcripts_table(N_CONV))
+
+
+def test_build_meta(built_index):
+    assert built_index["n_docs"] == N_CONV
+    assert built_index["n_postings"] > 0
+    assert built_index["avgdl"] > 0
+
+
+def test_per_turn_text_equality(built_index):
+    """Doc store read back + stable (conv_id, turn_idx) sort == input."""
+    store = pads.dataset(os.path.join(IDX, "docstore"),
+                         format="parquet").to_table()
+    store = store.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    inp = transcripts_table(N_CONV).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert store.num_rows == inp.num_rows
+    for col in ("conv_id", "turn_idx", "role", "text", "tool"):
+        assert store[col].to_pylist() == inp[col].to_pylist(), col
+
+
+def test_rank_identity(built_index, oracle):
+    se = IndexSearcher(IDX)
+    n_nonempty = 0
+    for qid, q, k in query_set():
+        d1, s1 = se.search(q, k)
+        d2, s2 = oracle.search(q, k)
+        assert list(d1) == list(d2), (qid, q)
+        assert list(s1) == list(s2), (qid, q)  # float64-exact
+        n_nonempty += bool(len(d1))
+    assert n_nonempty >= 8  # the query set actually exercises the corpus
+
+
+def test_field_weight_signal(built_index, oracle):
+    """Marker terms planted per-role must hit, and the role filter must
+    restrict to docs whose hits are in that field."""
+    se = IndexSearcher(IDX)
+    d, s = se.search("roleonlyterm_assistant", 10)
+    assert len(d) > 0
+    d2, _ = se.search("role:system roleonlyterm_assistant", 10)
+    assert len(d2) == 0  # marker never appears in system turns
+
+
+def test_determinism_across_parallelism(built_index, ray_session):
+    """FIXTURES §4.3: different block counts → identical index contents."""
+    idx2 = IDX + "_p2"
+    shutil.rmtree(idx2, ignore_errors=True)
+    build_index(lambda: transcripts_dataset(N_CONV, override_num_blocks=3),
+                idx2, input_token=f"synthetic:n={N_CONV}:blocks3")
+    se1, se2 = IndexSearcher(IDX), IndexSearcher(idx2)
+    assert se1.n_docs == se2.n_docs and se1.avgdl == se2.avgdl
+    for qid, q, k in query_set():
+        d1, s1 = se1.search(q, k)
+        d2, s2 = se2.search(q, k)
+        assert list(d1) == list(d2) and list(s1) == list(s2), qid
+    # spot-check identical decoded postings for a few terms
+    from open_source_search_engine_ray.functions.ghash import (
+        TERMID_MASK, hash64_lower_utf8)
+    for tok in ("w0002", "the", "w0123"):
+        tid = int(np.uint64(hash64_lower_utf8(tok)) & TERMID_MASK)
+        p1, p2 = se1.get_postings(tid), se2.get_postings(tid)
+        assert (p1 is None) == (p2 is None)
+        if p1 is not None:
+            assert p1.doc_ids.tolist() == p2.doc_ids.tolist()
+            assert p1.tfs.tolist() == p2.tfs.tolist()
+            assert p1.dl.tolist() == p2.dl.tolist()
+    shutil.rmtree(idx2, ignore_errors=True)
+
+
+def test_salting_transparency(built_index, oracle, ray_session):
+    """FIXTURES §4.4: hot-term salting on vs off → identical results."""
+    idx3 = IDX + "_nosalt"
+    shutil.rmtree(idx3, ignore_errors=True)
+    cfg = IndexConfig(hot_df_ratio=10.0)  # threshold unreachable → no salting
+    build_index(lambda: transcripts_dataset(N_CONV), idx3, cfg,
+                input_token=f"synthetic:n={N_CONV}")
+    assert load_meta(idx3)["hot_terms"] == []
+    se = IndexSearcher(idx3)
+    for qid, q, k in query_set():
+        d1, s1 = se.search(q, k)
+        d2, s2 = oracle.search(q, k)
+        assert list(d1) == list(d2) and list(s1) == list(s2), qid
+    shutil.rmtree(idx3, ignore_errors=True)
+
+
+def test_resume_after_partial_build(built_index, oracle, ray_session):
+    """FIXTURES §4.5: delete some shards' segments+manifests, resume, and
+    results must equal a fresh build."""
+    idx4 = IDX + "_resume"
+    shutil.rmtree(idx4, ignore_errors=True)
+    shutil.copytree(IDX, idx4)
+    # simulate a crash: 2 shards incomplete (one missing manifest, one
+    # missing both manifest and segment)
+    meta = load_meta(idx4)
+    shards = meta["built_shards"][:2]
+    from open_source_search_engine_ray.index.manifest import (
+        manifest_path, segment_path)
+    os.remove(manifest_path(idx4, shards[0]))
+    os.remove(manifest_path(idx4, shards[1]))
+    os.remove(segment_path(idx4, shards[1]))
+    build_index(lambda: transcripts_dataset(N_CONV), idx4,
+                input_token=f"synthetic:n={N_CONV}", resume=True)
+    se = IndexSearcher(idx4)
+    for qid, q, k in query_set():
+        d1, s1 = se.search(q, k)
+        d2, s2 = oracle.search(q, k)
+        assert list(d1) == list(d2) and list(s1) == list(s2), qid
+    shutil.rmtree(idx4, ignore_errors=True)
+
+
+def test_distributed_batch_eval(built_index, ray_session):
+    from open_source_search_engine_ray.query.engine import (
+        evaluate_queries_distributed)
+    res = evaluate_queries_distributed(IDX, query_set(), concurrency=2)
+    df = res.to_pandas()
+    se = IndexSearcher(IDX)
+    for qid, q, k in query_set():
+        d, s = se.search(q, k)
+        sub = df[df.query_id == qid].sort_values("rank")
+        assert sub.doc_id.tolist() == [int(x) for x in d]
