@@ -1,0 +1,220 @@
+"""Document-table search pipelines with ANSI-SQL-replicable semantics.
+
+These run the engine's scoring over the ``documents`` table using the
+*simplified* tokenizer (``tokenize_simple``: lowercase ``[a-z0-9]+`` —
+exactly replicable as ``regexp_split_to_array`` in the DuckDB oracle), so
+the driver's side-by-side correctness gate can hash-compare results.  The
+full Gigablast-rule tokenizer is covered by unit goldens and the pytest
+oracle instead (its comma/apostrophe/script rules are not ANSI-SQL).
+
+``bm25_topk_docs`` is query-time scoring without a prebuilt index — the
+analogue of the reference's query-driven reindex scans (``DocReindex.cpp``,
+``PageReindex.cpp``): tokenize → filter to query terms at the map side →
+tiny df aggregate → second streaming pass accumulating per-(query, doc)
+contributions → per-query top-k.  Scoring matches functions/bm25.py's
+formula with scalar tf/dl (single field).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.tokenizer import tokenize_simple
+
+K1 = 1.2
+B = 0.75
+
+# fixed reference query set over the documents vocabulary
+DOC_QUERIES: list[tuple[str, str]] = [
+    ("dq01", "spark window"),
+    ("dq02", "hash join"),
+    ("dq03", "merge sort batch"),
+    ("dq04", "customer query"),
+    ("dq05", "stream"),
+    ("dq06", "big table scan"),
+    ("dq07", "group agg filter"),
+    ("dq08", "slow"),
+]
+TOP_K = 10
+
+
+def _read_docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def _term_tf_batch(batch: pa.Table, terms: set[str]) -> pa.Table:
+    """Per-doc tf for the query terms + per-doc token count (dl)."""
+    doc_ids = batch["doc_id"].to_numpy()
+    out_doc, out_term, out_tf = [], [], []
+    for d, text in zip(doc_ids, batch["text"].to_pylist()):
+        toks = tokenize_simple(text or "")
+        counts: dict[str, int] = {}
+        for t in toks:
+            if t in terms:
+                counts[t] = counts.get(t, 0) + 1
+        for t, c in counts.items():
+            out_doc.append(int(d))
+            out_term.append(t)
+            out_tf.append(c)
+    return pa.table({
+        "doc_id": pa.array(out_doc, pa.int64()),
+        "term": pa.array(out_term, pa.string()),
+        "tf": pa.array(out_tf, pa.int64()),
+    })
+
+
+def _doc_len_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch["doc_id"].to_numpy()
+    dl = np.fromiter((len(tokenize_simple(t or ""))
+                      for t in batch["text"].to_pylist()),
+                     dtype=np.int64, count=len(doc_ids))
+    return pa.table({"doc_id": pa.array(doc_ids.astype(np.int64)),
+                     "dl": pa.array(dl, pa.int64())})
+
+
+def bm25_topk_docs(sf_dir: str):
+    """→ (query_id, rank, doc_id, score) — disjunctive (OR) BM25 top-10."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    terms = {t for _, q in DOC_QUERIES for t in tokenize_simple(q)}
+
+    # pass 1: doc lengths (+ N, avgdl as exact int sums)
+    dls = _read_docs(sf_dir).map_batches(_doc_len_batch,
+                                         batch_format="pyarrow")
+    dl_tbl = dls.to_pandas()
+    n_docs = len(dl_tbl)
+    avgdl = float(np.float64(int(dl_tbl["dl"].sum())) / np.float64(n_docs))
+    dl_sorted = dl_tbl.sort_values("doc_id")
+    dl_ids = dl_sorted["doc_id"].to_numpy()
+    dl_vals = dl_sorted["dl"].to_numpy()
+    dl_ref = ray.put((dl_ids, dl_vals))
+
+    # pass 2: per-(doc, term) tf for query terms only (map-side pruning)
+    tfs = _read_docs(sf_dir).map_batches(
+        lambda b: _term_tf_batch(b, terms), batch_format="pyarrow")
+    # df per term (tiny aggregate)
+    df_tbl = tfs.groupby("term").aggregate(Count(alias_name="df")).to_pandas()
+    df_map = dict(zip(df_tbl["term"], df_tbl["df"].astype(int)))
+
+    idf = {t: float(np.log1p((n_docs - df_map.get(t, 0) + 0.5) /
+                             (df_map.get(t, 0) + 0.5))) for t in terms}
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        ids, vals = ray.get(dl_ref)
+        doc = batch["doc_id"].to_numpy()
+        tf = batch["tf"].to_numpy().astype(np.float64)
+        term = batch["term"].to_pylist()
+        pos = np.searchsorted(ids, doc)
+        dl = vals[pos].astype(np.float64)
+        denom = tf + K1 * (1.0 - B + B * dl / avgdl)
+        base = tf * (K1 + 1.0) / denom
+        out = {"query_id": [], "doc_id": [], "contrib": []}
+        for qid, q in DOC_QUERIES:
+            qterms = set(tokenize_simple(q))
+            sel = np.fromiter((t in qterms for t in term), dtype=bool,
+                              count=len(term))
+            if not sel.any():
+                continue
+            iv = np.asarray([idf[t] for t, s in zip(term, sel) if s])
+            out["query_id"].extend([qid] * int(sel.sum()))
+            out["doc_id"].extend(doc[sel].tolist())
+            out["contrib"].extend((iv * base[sel]).tolist())
+        return pa.table({"query_id": pa.array(out["query_id"], pa.string()),
+                         "doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "contrib": pa.array(out["contrib"], pa.float64())})
+
+    scored = tfs.map_batches(score_batch, batch_format="pyarrow")
+    agg = scored.groupby(["query_id", "doc_id"]).aggregate(
+        Sum("contrib", alias_name="score"))
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["score"] = g["score"].round(6)
+        return g[["query_id", "rank", "doc_id", "score"]]
+
+    return agg.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+def bm25_topk_docs_sql() -> str:
+    queries_values = ", ".join(
+        f"('{qid}', '{q}')" for qid, q in DOC_QUERIES)
+    return f"""
+WITH queries(query_id, query) AS (VALUES {queries_values}),
+qterms AS (
+  SELECT DISTINCT query_id, t.term
+  FROM queries, UNNEST(regexp_split_to_array(lower(query), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+toks AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs,
+                 sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+         tf.tf * ({K1} + 1) /
+         (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id, sum(c) AS score
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scored
+QUALIFY rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def doc_term_df(sf_dir: str):
+    """→ (term, df) document frequency of every simple-token term."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    def distinct_terms(batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch["text"].to_pylist():
+            out.extend(set(tokenize_simple(text or "")))
+        return pa.table({"term": pa.array(out, pa.string())})
+
+    ds = _read_docs(sf_dir).map_batches(distinct_terms,
+                                        batch_format="pyarrow")
+    return ds.groupby("term").aggregate(Count(alias_name="df"))
+
+
+def doc_term_df_sql() -> str:
+    return """
+SELECT term, count(*) AS df FROM (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+) GROUP BY term ORDER BY term
+"""

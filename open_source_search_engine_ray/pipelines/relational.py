@@ -1,0 +1,229 @@
+"""Relational operators demonstrated Ray-Data-first: wide aggregation,
+broadcast join, windowed streaming aggregate.
+
+These exercise the generic dataflow machinery (the reference's batch
+DocProcess jobs and Statistics aggregation, SURVEY.md §2.6) on the star
+schema the driver pre-registers for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns)
+
+
+def lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style: per (returnflag, linestatus) sums/averages — partial
+    aggregation happens inside Ray's hash aggregate; read is column-pruned."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    # sums in exact integer cents so float summation order can never flip
+    # a rounding boundary (the inputs are 2-decimal money values;
+    # disc_price = price × (1-discount) is exact in 10^-4 units)
+    def derive(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        qty = b["l_quantity"].to_numpy()
+        cents = np.rint(price * 100.0).astype(np.int64)
+        disc_e4 = np.rint(price * 100.0).astype(np.int64) * \
+            np.rint((1.0 - disc) * 100.0).astype(np.int64)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty_i": pa.array(np.rint(qty).astype(np.int64)),
+            "price_cents": pa.array(cents),
+            "disc_e4": pa.array(disc_e4),
+        })
+
+    agg = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("qty_i", alias_name="sum_qty_i"),
+                      Sum("price_cents", alias_name="sum_cents"),
+                      Sum("disc_e4", alias_name="sum_disc_e4"),
+                      Count(alias_name="count_order")))
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": b["sum_qty_i"],
+            "sum_base_price": pc.divide(
+                pc.cast(b["sum_cents"], pa.float64()), pa.scalar(100.0)),
+            "sum_disc_price": pc.divide(
+                pc.cast(b["sum_disc_e4"], pa.float64()), pa.scalar(10000.0)),
+            "count_order": b["count_order"],
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def lineitem_pricing_summary_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+       sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_base_price,
+       sum(round(l_extendedprice * 100)::BIGINT *
+           round((1 - l_discount) * 100)::BIGINT) / 10000.0 AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def orders_by_nation(sf_dir: str):
+    """Revenue per nation: broadcast join (customer+nation are the small
+    side → ``ray.put`` once, dict lookup per batch; orders stream)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nk = dict(zip(cust["c_custkey"].astype(int),
+                  cust["c_nationkey"].astype(int)))
+    nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    ref = ray.put((nk, nname))
+
+    def attach(b: pa.Table) -> pa.Table:
+        nk_, nname_ = ray.get(ref)
+        keys = b["o_custkey"].to_numpy()
+        names = [nname_.get(nk_.get(int(k), -1), "UNKNOWN") for k in keys]
+        cents = np.rint(b["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "price_cents": pa.array(cents),
+        })
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = (ds.map_batches(attach, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Sum("price_cents", alias_name="sum_cents"),
+                      Count(alias_name="n_orders")))
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": b["n_name"],
+            "total_revenue": pc.divide(
+                pc.cast(b["sum_cents"], pa.float64()), pa.scalar(100.0)),
+            "n_orders": b["n_orders"],
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def orders_by_nation_sql() -> str:
+    return """
+SELECT n.n_name,
+       sum(round(o.o_totalprice * 100)::BIGINT) / 100.0 AS total_revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+def events_hourly_window(sf_dir: str):
+    """Tumbling 1h windows per event_type: (window_start epoch-seconds,
+    event_type, n_events, sum_value) — the streaming windowed-aggregate
+    operator (map-side window assignment, then a keyed aggregate)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def window(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        win = (ts // 3_600_000_000) * 3600  # epoch seconds, hour floor
+        cents = np.rint(b["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({
+            "window_start": pa.array(win, pa.int64()),
+            "event_type": b["event_type"],
+            "value_cents": pa.array(cents),
+        })
+
+    agg = (ds.map_batches(window, batch_format="pyarrow")
+           .groupby(["window_start", "event_type"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value_cents", alias_name="sum_cents")))
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": b["window_start"],
+            "event_type": b["event_type"],
+            "n_events": b["n_events"],
+            "sum_value": pc.divide(
+                pc.cast(b["sum_cents"], pa.float64()), pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def events_hourly_window_sql() -> str:
+    return """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+       event_type,
+       count(*) AS n_events,
+       sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def events_sessionize(sf_dir: str):
+    """Per-user sessionization (30-min gap): → (user_id, n_sessions,
+    max_session_events).  Session windows need per-user ordered scans —
+    ``groupby(user).map_groups`` with a vectorized gap cumsum."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        gaps = np.diff(ts) > 30 * 60 * 1_000_000
+        sess_id = np.concatenate([[0], np.cumsum(gaps)])
+        n_sessions = int(sess_id[-1]) + 1
+        counts = np.bincount(sess_id)
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_sessions": [n_sessions],
+            "max_session_events": [int(counts.max())],
+        })
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def events_sessionize_sql() -> str:
+    return """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n FROM sess GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""

@@ -1,0 +1,168 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding:
+list<float>, label).
+
+- ``cosine_topk``: exact brute-force cosine top-k — numpy matmul per batch
+  against a broadcast query matrix (the scale path: queries are small and
+  broadcast once via ``ray.put``; the corpus streams).  SQL-checkable via
+  DuckDB ``list_cosine_similarity``.
+- ``lsh_cosine_topk``: random-hyperplane LSH bucketing — the approximate
+  scale path (candidates only from matching buckets); rows-only check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+QUERY_VEC_IDS = [0, 1, 2, 3, 4]
+TOP_K = 10
+LSH_PLANES = 12
+
+
+def _read_emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", QUERY_VEC_IDS)])
+    ids = tbl["vec_id"].to_numpy()
+    mat = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def cosine_topk(sf_dir: str):
+    """→ (query_vec_id, rank, vec_id, sim): exact cosine top-10 per query."""
+    import ray
+
+    q_ids, q_mat = _query_matrix(sf_dir)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, q_norm))
+
+    def sims(batch: pa.Table) -> pa.Table:
+        ids, qn = ray.get(q_ref)
+        vecs = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        s = vn @ qn.T                       # (n, nq)
+        vid = batch["vec_id"].to_numpy()
+        n, nq = s.shape
+        return pa.table({
+            "query_vec_id": pa.array(np.repeat(ids, n).astype(np.int64)),
+            "vec_id": pa.array(np.tile(vid, nq).astype(np.int64)),
+            "sim": pa.array(s.T.reshape(-1), pa.float64()),
+        })
+
+    scored = _read_emb(sf_dir).map_batches(sims, batch_format="pyarrow")
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "vec_id"],
+                              ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["sim"] = g["sim"].round(6)
+        return g[["query_vec_id", "rank", "vec_id", "sim"]]
+
+    return scored.groupby("query_vec_id").map_groups(topk,
+                                                     batch_format="pandas")
+
+
+def cosine_topk_sql() -> str:
+    ids = ", ".join(str(i) for i in QUERY_VEC_IDS)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding AS qe
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+scored AS (
+  SELECT q.query_vec_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_vec_id,
+       row_number() OVER (PARTITION BY query_vec_id
+                          ORDER BY sim DESC, vec_id ASC) AS rank,
+       vec_id, round(sim, 6) AS sim
+FROM scored
+QUALIFY rank <= {TOP_K}
+ORDER BY query_vec_id, rank
+"""
+
+
+class LshCosine:
+    """Actor-pool stage: random-hyperplane signature per vector (state —
+    the plane matrix — built once per actor, deterministic seed)."""
+
+    def __init__(self, dim: int = 64):
+        self.planes = np.random.default_rng(777).standard_normal(
+            (dim, LSH_PLANES))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        bits = (vecs @ self.planes) > 0
+        key = (bits.astype(np.uint32) <<
+               np.arange(LSH_PLANES, dtype=np.uint32)).sum(axis=1)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "embedding": batch["embedding"],
+            "bucket": pa.array(key.astype(np.int32), pa.int32()),
+        })
+
+
+def lsh_cosine_topk(sf_dir: str):
+    """Approximate cosine top-k: per-bucket brute force (plus the queries'
+    own buckets), rows-only check.  Recall < 1 by construction; the exact
+    baseline above is the correctness anchor."""
+    import ray
+
+    q_ids, q_mat = _query_matrix(sf_dir)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    planes = np.random.default_rng(777).standard_normal(
+        (q_mat.shape[1], LSH_PLANES))
+    q_bits = (q_norm @ planes) > 0
+    q_keys = (q_bits.astype(np.uint32) <<
+              np.arange(LSH_PLANES, dtype=np.uint32)).sum(axis=1)
+    q_ref = ray.put((q_ids, q_norm, q_keys))
+
+    def bucket_sims(batch: pa.Table) -> pa.Table:
+        ids, qn, qk = ray.get(q_ref)
+        vecs = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        bucket = batch["bucket"].to_numpy()
+        vid = batch["vec_id"].to_numpy()
+        out_q, out_v, out_s = [], [], []
+        for qi, (qid, key) in enumerate(zip(ids, qk)):
+            sel = bucket == np.int32(key)
+            if not sel.any():
+                continue
+            s = vn[sel] @ qn[qi]
+            out_q.extend([int(qid)] * int(sel.sum()))
+            out_v.extend(vid[sel].tolist())
+            out_s.extend(s.tolist())
+        return pa.table({
+            "query_vec_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    bucketed = _read_emb(sf_dir).map_batches(
+        LshCosine, batch_format="pyarrow", concurrency=(1, 4))
+    scored = bucketed.map_batches(bucket_sims, batch_format="pyarrow")
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "vec_id"],
+                              ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["sim"] = g["sim"].round(6)
+        return g[["query_vec_id", "rank", "vec_id", "sim"]]
+
+    return scored.groupby("query_vec_id").map_groups(topk,
+                                                     batch_format="pandas")

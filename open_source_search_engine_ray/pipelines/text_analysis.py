@@ -1,0 +1,223 @@
+"""Text analysis operators over ``documents``: token stats, quality
+scoring, heuristic language ID, document fingerprinting.
+
+The language/quality heuristics are defined as exact functions of the text
+(no models — the reference's CLD2 language ID ``FxLanguage.cpp`` and spam
+checks ``FxCheckSpam.cpp`` are external-model stages there) so the DuckDB
+oracle can replicate them bit-for-bit where SQL allows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.ghash import hash64_batch
+from ..functions.stopwords import STOPWORDS
+from ..functions.tokenizer import tokenize_simple
+
+# deterministic marker vocabularies for the n-gram language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "with", "for"],
+    "de": ["der", "die", "und", "das", "ist", "mit", "ein", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "pour"],
+    "es": ["el", "la", "de", "los", "que", "es", "una", "por"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+FINGERPRINT_WINDOW = 4  # winnowing window over 3-gram hashes
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=list(columns))
+
+
+def token_stats(sf_dir: str):
+    """→ (doc_id, n_tokens, n_unique, mean_token_len)."""
+    def stats(batch: pa.Table) -> pa.Table:
+        n_tok, n_uni, mean_len = [], [], []
+        for t in batch["text"].to_pylist():
+            toks = tokenize_simple(t or "")
+            n_tok.append(len(toks))
+            n_uni.append(len(set(toks)))
+            mean_len.append(
+                round(float(np.float64(sum(map(len, toks))) /
+                            np.float64(len(toks))), 6) if toks else 0.0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_unique": pa.array(n_uni, pa.int64()),
+            "mean_token_len": pa.array(mean_len, pa.float64()),
+        })
+
+    return _read_docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def token_stats_sql() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.n_unique, 0) AS n_unique,
+       coalesce(s.mean_token_len, 0.0) AS mean_token_len
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique,
+         round(sum(length(term))::DOUBLE / count(*), 6) AS mean_token_len
+  FROM toks GROUP BY doc_id
+) s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def quality_score(sf_dir: str):
+    """→ (doc_id, n_tokens, stop_ratio, short_ratio, quality):
+    quality = round((1-stop_ratio)*0.6 + (1-short_ratio)*0.4, 6)."""
+    stop_list = sorted(STOPWORDS)
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": batch["doc_id"], "n_tokens": [], "stop_ratio": [],
+               "short_ratio": [], "quality": []}
+        for t in batch["text"].to_pylist():
+            toks = tokenize_simple(t or "")
+            n = len(toks)
+            if n == 0:
+                out["n_tokens"].append(0)
+                out["stop_ratio"].append(0.0)
+                out["short_ratio"].append(0.0)
+                out["quality"].append(1.0)
+                continue
+            stop = sum(1 for x in toks if x in STOPWORDS)
+            short = sum(1 for x in toks if len(x) <= 2)
+            sr = round(float(np.float64(stop) / np.float64(n)), 6)
+            shr = round(float(np.float64(short) / np.float64(n)), 6)
+            out["n_tokens"].append(n)
+            out["stop_ratio"].append(sr)
+            out["short_ratio"].append(shr)
+            out["quality"].append(round((1 - sr) * 0.6 + (1 - shr) * 0.4, 6))
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+            "stop_ratio": pa.array(out["stop_ratio"], pa.float64()),
+            "short_ratio": pa.array(out["short_ratio"], pa.float64()),
+            "quality": pa.array(out["quality"], pa.float64()),
+        })
+
+    _ = stop_list
+    return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def quality_score_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+         round(sum(CASE WHEN term IN ({stops}) THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 6) AS stop_ratio,
+         round(sum(CASE WHEN length(term) <= 2 THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 6) AS short_ratio
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n, 0) AS n_tokens,
+       coalesce(a.stop_ratio, 0.0) AS stop_ratio,
+       coalesce(a.short_ratio, 0.0) AS short_ratio,
+       CASE WHEN a.n IS NULL THEN 1.0
+            ELSE round((1 - a.stop_ratio) * 0.6 + (1 - a.short_ratio) * 0.4, 6)
+       END AS quality
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def lang_id(sf_dir: str):
+    """→ (doc_id, lang_pred): argmax of distinct-marker hits, precedence
+    en > de > fr > es on ties, 'unknown' when no markers hit."""
+    def classify(batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch["text"].to_pylist():
+            toks = set(tokenize_simple(t or ""))
+            best_lang, best_n = "unknown", 0
+            for lang in LANG_ORDER:
+                n = len(toks & set(LANG_MARKERS[lang]))
+                if n > best_n:
+                    best_lang, best_n = lang, n
+            preds.append(best_lang)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "lang_pred": pa.array(preds, pa.string())})
+
+    return _read_docs(sf_dir).map_batches(classify, batch_format="pyarrow")
+
+
+def lang_id_sql() -> str:
+    def in_list(lang):
+        return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+hits AS (
+  SELECT doc_id,
+         sum(CASE WHEN term IN ({in_list('en')}) THEN 1 ELSE 0 END) AS n_en,
+         sum(CASE WHEN term IN ({in_list('de')}) THEN 1 ELSE 0 END) AS n_de,
+         sum(CASE WHEN term IN ({in_list('fr')}) THEN 1 ELSE 0 END) AS n_fr,
+         sum(CASE WHEN term IN ({in_list('es')}) THEN 1 ELSE 0 END) AS n_es
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE
+         WHEN h.doc_id IS NULL OR greatest(n_en, n_de, n_fr, n_es) = 0
+           THEN 'unknown'
+         WHEN n_en >= greatest(n_de, n_fr, n_es) THEN 'en'
+         WHEN n_de >= greatest(n_fr, n_es) THEN 'de'
+         WHEN n_fr >= n_es THEN 'fr'
+         ELSE 'es'
+       END AS lang_pred
+FROM documents d LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def fingerprint_docs(sf_dir: str):
+    """→ (doc_id, n_fingerprints, min_fp): winnowing fingerprints — min
+    hash per sliding window of 3-gram hashes (rows-only check; the rolling
+    structure is not ANSI-SQL)."""
+    def fp(batch: pa.Table) -> pa.Table:
+        n_fps, min_fps = [], []
+        for t in batch["text"].to_pylist():
+            toks = tokenize_simple(t or "")
+            grams = [" ".join(toks[i:i + 3])
+                     for i in range(max(0, len(toks) - 2))]
+            if not grams:
+                n_fps.append(0)
+                min_fps.append(0)
+                continue
+            hs = (hash64_batch([g.encode() for g in grams]) &
+                  np.uint64((1 << 62) - 1))
+            w = FINGERPRINT_WINDOW
+            if len(hs) <= w:
+                fps = {int(hs.min())}
+            else:
+                view = np.lib.stride_tricks.sliding_window_view(hs, w)
+                fps = set(view.min(axis=1).tolist())
+            n_fps.append(len(fps))
+            min_fps.append(min(fps))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_fingerprints": pa.array(n_fps, pa.int64()),
+                         "min_fp": pa.array(min_fps, pa.int64())})
+
+    return _read_docs(sf_dir).map_batches(fp, batch_format="pyarrow")
