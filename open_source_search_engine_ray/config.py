@@ -59,6 +59,11 @@ class IndexConfig:
     index_bigrams: bool = True
     # cap on positions stored per (term, doc) — wide-row guard
     max_positions_per_doc: int = 256
+    # "spill": stateful actor-pool segment writers spill shard-sorted runs,
+    # per-shard merge tasks encode (LSM dump/merge analogue — scales with
+    # CPUs).  "groupby": ray.data groupby(shard).map_groups (object-store
+    # all-to-all).  Both produce byte-identical segments (tested).
+    build_strategy: str = "spill"
 
     def config_hash(self) -> str:
         return hashlib.sha256(

@@ -76,6 +76,33 @@ def decode(buf: bytes | np.ndarray) -> np.ndarray:
     return out
 
 
+def encode_lengths(values: np.ndarray) -> np.ndarray:
+    """Varbyte-encoded byte length per value (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(len(v), dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes[tmp > 0] += 1
+        tmp = tmp >> np.uint64(7)
+    return nbytes
+
+
+def encode_segmented(values: np.ndarray,
+                     seg_starts: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode one flat value array and return (blob, byte offset of each
+    segment boundary).  ``seg_starts`` are value indices (ascending,
+    starting at 0); the returned offsets have len(seg_starts)+1 entries so
+    segment *i* is ``blob[off[i]:off[i+1]]``.  Equivalent to calling
+    :func:`encode` per segment but with no per-segment Python overhead."""
+    blob = encode(values)
+    lens = encode_lengths(values) if len(values) else np.zeros(0, np.int64)
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    offs = np.empty(len(seg_starts) + 1, dtype=np.int64)
+    offs[:-1] = cum[seg_starts]
+    offs[-1] = cum[-1]
+    return blob, offs
+
+
 def encode_deltas(sorted_values: np.ndarray) -> bytes:
     """Delta + varbyte encode a sorted uint64 array (first value absolute)."""
     v = np.ascontiguousarray(sorted_values, dtype=np.uint64)

@@ -103,8 +103,8 @@ def estimate_hot_terms(transcripts_ds, config: IndexConfig,
     the reference's 30MB termlist cap + high-frequency-term shortcuts,
     ``PosdbTable.cpp:1975-1981``, ``HighFrequencyTermShortcuts.h``).
     """
-    sample = transcripts_ds.limit(sample_turns)
-    texts = [r["text"] or "" for r in sample.take_all()]
+    batch = transcripts_ds.take_batch(sample_turns, batch_format="pyarrow")
+    texts = [t or "" for t in batch["text"].to_pylist()]
     if not texts:
         return np.zeros(0, dtype=np.uint64)
     cache = TokenHashCache()
@@ -153,6 +153,173 @@ def _make_segment_group_fn(out_dir: str, config: IndexConfig, avgdl: float,
     return build_group
 
 
+def _encode_shard_chunk(run_files: list[str], shards: list[int],
+                        out_dir: str, config: IndexConfig, avgdl: float,
+                        fingerprint: str, dl) -> list[dict]:
+    """Merge+encode a chunk of shards from the spilled runs (one Ray task;
+    the ``RdbMerge``/``posdbMerge_r`` analogue).  ``dl`` is the broadcast
+    (sorted doc_ids, float32 dl) pair; doc lengths are attached here because
+    the fused spill pass ran before they were known."""
+    from ..stages.spill import read_shard_range
+    from .segments import encode_shard, write_segment
+
+    dl_ids, dl_vals = dl
+    p, s = config.num_partitions, config.num_salts
+    out = []
+    by_shard = read_shard_range(run_files, min(shards), max(shards))
+    for shard in shards:
+        t0 = time.time()
+        tbl = by_shard.get(shard)
+        if tbl is not None:
+            doc = tbl["doc_id"].to_numpy().astype(np.uint64)
+            idx = np.clip(np.searchsorted(dl_ids, doc), 0,
+                          max(0, len(dl_ids) - 1))
+            vals = dl_vals[idx].astype(np.float32)
+            vals[dl_ids[idx] != doc] = np.float32(0.0)
+            tbl = tbl.set_column(tbl.schema.get_field_index("dl"), "dl",
+                                 pa.array(vals, pa.float32()))
+        salt = (shard - p) % s if shard >= p else 0
+        if tbl is None:
+            mf.write_manifest(out_dir, shard, fingerprint=fingerprint,
+                              n_terms=0, n_postings=0, bytes_written=0,
+                              wall_sec=time.time() - t0,
+                              salt=salt if shard >= p else None)
+            out.append({"shard": shard, "n_terms": 0, "n_postings": 0,
+                        "skipped": False})
+            continue
+        seg = encode_shard(tbl, config, salt, avgdl)
+        path = mf.segment_path(out_dir, shard)
+        write_segment(seg, path)
+        n_postings = int(pa.compute.sum(seg["df"]).as_py() or 0)
+        mf.write_manifest(out_dir, shard, fingerprint=fingerprint,
+                          n_terms=seg.num_rows, n_postings=n_postings,
+                          bytes_written=os.path.getsize(path),
+                          wall_sec=time.time() - t0,
+                          salt=salt if shard >= p else None)
+        out.append({"shard": shard, "n_terms": seg.num_rows,
+                    "n_postings": n_postings, "skipped": False})
+    return out
+
+
+def _build_fused_spill(transcripts_ds_factory, out_dir: str,
+                       config: IndexConfig, fingerprint: str, resume: bool,
+                       write_docstore: bool,
+                       phase_sec: dict) -> tuple[list[dict], dict]:
+    """Fused single-read build: spill pass (postings runs + doc stats +
+    docstore) → driver stat merge → per-shard encode.  Returns (summary,
+    stats) where stats has n_docs/avgdl/hot_terms."""
+    import shutil
+
+    import ray
+
+    from ..stages.spill import spill_postings
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+
+    t = time.time()
+    hot_terms = estimate_hot_terms(transcripts_ds_factory(), config)
+    hot_ref = ray.put(hot_terms)
+    phase_sec["hot_sample"] = round(time.time() - t, 3)
+
+    done = frozenset(mf.completed_shards(out_dir, fingerprint)
+                     if resume else ())
+    all_shards = list(range(config.num_partitions +
+                            len(hot_terms) * config.num_salts))
+    docstore_done = resume and _stage_complete(out_dir, "docstore",
+                                               fingerprint)
+    if (resume and not [sh for sh in all_shards if sh not in done]
+            and _stage_complete(out_dir, "docstats", fingerprint)
+            and (not write_docstore or docstore_done)):
+        # everything complete for this fingerprint: reuse on-disk artifacts
+        _, doc_ids_sorted, dl32, dl_q = load_doc_stats(out_dir)
+        n_docs = len(doc_ids_sorted)
+        total_dlq = int(dl_q.sum())
+        summary = [{"shard": sh, "n_terms": 0, "n_postings": 0,
+                    "skipped": True} for sh in all_shards]
+        return summary, {
+            "n_docs": n_docs, "total_dlq": total_dlq,
+            "avgdl": float(np.float64(total_dlq) / 4.0 / np.float64(n_docs)),
+            "hot_terms": hot_terms}
+
+    # fused spill pass
+    t = time.time()
+    store_dir = os.path.join(out_dir, "docstore")
+    if write_docstore and not docstore_done:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    spill_dir = os.path.join(out_dir, "tmp_spill")
+    shutil.rmtree(spill_dir, ignore_errors=True)
+    num_writers = max(2, cpus)
+    run_files, stats_df, spill_timings = spill_postings(
+        transcripts_ds_factory(), spill_dir,
+        store_dir if (write_docstore and not docstore_done) else None,
+        config, hot_ref, num_writers)
+    if write_docstore and not docstore_done:
+        _mark_stage(out_dir, "docstore", fingerprint)
+    phase_sec["spill"] = round(time.time() - t, 3)
+    phase_sec["spill_detail"] = {
+        k: round(v / num_writers, 3) for k, v in spill_timings.items()}
+
+    # doc stats from the spill pass's partials
+    t = time.time()
+    import pyarrow.parquet as pq
+
+    wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
+                    dtype=np.int64)
+    lens = stats_df[[f"len_f{f}" for f in range(NUM_FIELDS)]].to_numpy()
+    stats_df = stats_df.assign(dl_q=lens @ wq)
+    ds_dir = os.path.join(out_dir, "docstats")
+    shutil.rmtree(ds_dir, ignore_errors=True)
+    os.makedirs(ds_dir, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(stats_df, preserve_index=False),
+                   os.path.join(ds_dir, "part-0.parquet"))
+    _mark_stage(out_dir, "docstats", fingerprint)
+    doc_ids = stats_df["doc_id"].to_numpy().astype(np.uint64)
+    order = np.argsort(doc_ids)
+    doc_ids_sorted = doc_ids[order]
+    dl_q = stats_df["dl_q"].to_numpy().astype(np.int64)
+    dl32 = (dl_q[order].astype(np.float64) / 4.0).astype(np.float32)
+    n_docs = len(doc_ids_sorted)
+    total_dlq = int(dl_q.sum())
+    avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(n_docs))
+    dl_ref = ray.put((doc_ids_sorted, dl32))
+    phase_sec["docstats_merge"] = round(time.time() - t, 3)
+
+    # per-shard merge + encode
+    t = time.time()
+    pending = [sh for sh in all_shards if sh not in done]
+    summary: list[dict] = [{"shard": sh, "n_terms": 0, "n_postings": 0,
+                            "skipped": True} for sh in done]
+    if pending:
+        # contiguous shard chunks balanced by estimated row mass: each task
+        # decompresses every run's overlapping row groups exactly once, and
+        # no task gets more than ~1/(2·cpus) of the data
+        from ..stages.spill import estimate_shard_rows
+
+        pending.sort()
+        est = estimate_shard_rows(run_files, len(all_shards))
+        target = max(1.0, est.sum() / (cpus * 2))
+        chunks, cur, cur_mass = [], [], 0.0
+        for sh in pending:
+            cur.append(sh)
+            cur_mass += est[sh]
+            if cur_mass >= target:
+                chunks.append(cur)
+                cur, cur_mass = [], 0.0
+        if cur:
+            chunks.append(cur)
+        task = ray.remote(num_cpus=1)(_encode_shard_chunk)
+        futs = [task.remote(run_files, chunk, out_dir, config, avgdl,
+                            fingerprint, dl_ref) for chunk in chunks if chunk]
+        for res in ray.get(futs):
+            summary.extend(res)
+    shutil.rmtree(spill_dir, ignore_errors=True)
+    phase_sec["encode"] = round(time.time() - t, 3)
+
+    stats = {"n_docs": n_docs, "total_dlq": total_dlq, "avgdl": avgdl,
+             "hot_terms": hot_terms}
+    return summary, stats
+
+
 def build_index(transcripts_ds_factory, out_dir: str,
                 config: IndexConfig | None = None, *,
                 input_token: str, resume: bool = False,
@@ -167,51 +334,69 @@ def build_index(transcripts_ds_factory, out_dir: str,
     fingerprint = _fingerprint(input_token, config)
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.time()
+    phase_sec: dict[str, float] = {}
 
-    # pass 1: doc stats (its own resumable checkpoint stage)
-    if not (resume and _stage_complete(out_dir, "docstats", fingerprint)):
-        compute_doc_stats(transcripts_ds_factory(), config, out_dir)
-        _mark_stage(out_dir, "docstats", fingerprint)
-    stats_tbl, doc_ids_sorted, dl32, dl_q = load_doc_stats(out_dir)
-    n_docs = len(doc_ids_sorted)
-    total_dlq = int(dl_q.sum())
-    avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(n_docs))
-    dl_ref = ray.put((doc_ids_sorted, dl32))
+    if config.build_strategy == "spill":
+        summary, stats = _build_fused_spill(
+            transcripts_ds_factory, out_dir, config, fingerprint, resume,
+            write_docstore, phase_sec)
+        n_docs = stats["n_docs"]
+        total_dlq = stats["total_dlq"]
+        avgdl = stats["avgdl"]
+        hot_terms = stats["hot_terms"]
+    else:
+        # pass 1: doc stats (its own resumable checkpoint stage)
+        t = time.time()
+        if not (resume and _stage_complete(out_dir, "docstats", fingerprint)):
+            compute_doc_stats(transcripts_ds_factory(), config, out_dir)
+            _mark_stage(out_dir, "docstats", fingerprint)
+        phase_sec["docstats"] = round(time.time() - t, 3)
+        _, doc_ids_sorted, dl32, dl_q = load_doc_stats(out_dir)
+        n_docs = len(doc_ids_sorted)
+        total_dlq = int(dl_q.sum())
+        avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(n_docs))
+        dl_ref = ray.put((doc_ids_sorted, dl32))
 
-    # hot terms (salted repartitioning)
-    hot_terms = estimate_hot_terms(transcripts_ds_factory(), config)
-    hot_ref = ray.put(hot_terms)
+        # hot terms (salted repartitioning)
+        t = time.time()
+        hot_terms = estimate_hot_terms(transcripts_ds_factory(), config)
+        hot_ref = ray.put(hot_terms)
+        phase_sec["hot_sample"] = round(time.time() - t, 3)
 
-    done = frozenset(mf.completed_shards(out_dir, fingerprint) if resume else ())
+        done = frozenset(mf.completed_shards(out_dir, fingerprint)
+                         if resume else ())
 
-    # pass 2: postings shuffle → segments
-    postings = transcripts_ds_factory().map_batches(
-        TokenizePostings,
-        fn_constructor_kwargs={"config": config, "dl_ref": dl_ref,
-                               "hot_ref": hot_ref},
-        batch_format="pyarrow", concurrency=(1, 16))
-    group_fn = _make_segment_group_fn(out_dir, config, avgdl, fingerprint,
-                                      done)
-    summary = postings.groupby("shard").map_groups(
-        group_fn, batch_format="pyarrow").take_all()
+        # pass 2: postings → segments (object-store groupby shuffle)
+        t = time.time()
+        postings = transcripts_ds_factory().map_batches(
+            TokenizePostings,
+            fn_constructor_kwargs={"config": config, "dl_ref": dl_ref,
+                                   "hot_ref": hot_ref},
+            batch_format="pyarrow", concurrency=(1, 16))
+        group_fn = _make_segment_group_fn(out_dir, config, avgdl,
+                                          fingerprint, done)
+        summary = postings.groupby("shard").map_groups(
+            group_fn, batch_format="pyarrow").take_all()
+        phase_sec["postings_shuffle"] = round(time.time() - t, 3)
 
-    # doc store (per-turn text equality invariant): transcripts + doc_id,
-    # partitioned parquet
-    if write_docstore and not (resume and
-                               _stage_complete(out_dir, "docstore", fingerprint)):
-        import shutil
+        # doc store (per-turn text equality invariant)
+        t = time.time()
+        if write_docstore and not (resume and _stage_complete(
+                out_dir, "docstore", fingerprint)):
+            import shutil
 
-        from ..stages.tokenize import _doc_ids_for_column
+            from ..stages.tokenize import _doc_ids_for_column
 
-        def add_doc_id(b: pa.Table) -> pa.Table:
-            return b.append_column(
-                "doc_id", pa.array(_doc_ids_for_column(b["conv_id"]),
-                                   pa.uint64()))
-        store_dir = os.path.join(out_dir, "docstore")
-        shutil.rmtree(store_dir, ignore_errors=True)
-        transcripts_ds_factory().map_batches(
-            add_doc_id, batch_format="pyarrow").write_parquet(store_dir)
-        _mark_stage(out_dir, "docstore", fingerprint)
+            def add_doc_id(b: pa.Table) -> pa.Table:
+                return b.append_column(
+                    "doc_id", pa.array(_doc_ids_for_column(b["conv_id"]),
+                                       pa.uint64()))
+            store_dir = os.path.join(out_dir, "docstore")
+            shutil.rmtree(store_dir, ignore_errors=True)
+            transcripts_ds_factory().map_batches(
+                add_doc_id, batch_format="pyarrow").write_parquet(store_dir)
+            _mark_stage(out_dir, "docstore", fingerprint)
+        phase_sec["docstore"] = round(time.time() - t, 3)
 
     meta = {
         "version": 1,
@@ -235,6 +420,7 @@ def build_index(transcripts_ds_factory, out_dir: str,
             (mf.read_manifest(out_dir, int(r["shard"])) or {}).get("n_terms", 0)
             if r["skipped"] else r["n_terms"] for r in summary)),
         "build_wall_sec": round(time.time() - t_start, 3),
+        "phase_sec": phase_sec,
     }
     tmp = os.path.join(out_dir, "index_meta.json.tmp")
     with open(tmp, "w") as f:

@@ -74,6 +74,7 @@ def completed_shards(out_dir: str, fingerprint: str,
         shard = int(name[5:-5])
         m = read_manifest(out_dir, shard, generation)
         if (m and m.get("complete") and m.get("fingerprint") == fingerprint
-                and os.path.exists(segment_path(out_dir, shard, generation))):
+                and (m.get("n_terms", 0) == 0 or
+                     os.path.exists(segment_path(out_dir, shard, generation)))):
             done.add(shard)
     return done

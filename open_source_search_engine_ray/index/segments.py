@@ -23,7 +23,6 @@ import pyarrow.parquet as pq
 
 from ..config import IndexConfig, NUM_FIELDS
 from ..functions import varbyte
-from ..functions.bm25 import max_block_impact
 
 SEGMENT_SCHEMA = pa.schema([
     ("term_id", pa.uint64()),
@@ -50,20 +49,24 @@ def encode_shard(postings: pa.Table, config: IndexConfig, salt: int,
     """
     if postings.num_rows == 0:
         return SEGMENT_SCHEMA.empty_table()
-    term = postings["term_id"].to_numpy().astype(np.uint64)
-    doc = postings["doc_id"].to_numpy().astype(np.uint64)
-    field = postings["field"].to_numpy().astype(np.int64)
-    tf = postings["tf"].to_numpy().astype(np.int64)
-    dl = postings["dl"].to_numpy().astype(np.float32)
+    postings = postings.combine_chunks()
+    term = postings["term_id"].to_numpy()
+    doc = postings["doc_id"].to_numpy()
+    field = postings["field"].to_numpy()          # uint8
+    tf = postings["tf"].to_numpy()                # int32
+    dl = postings["dl"].to_numpy()                # float32
     pos_col = postings["positions"].combine_chunks()
     if isinstance(pos_col, pa.ChunkedArray):
         pos_col = pos_col.combine_chunks()
     pos_offsets = pos_col.offsets.to_numpy().astype(np.int64)
-    pos_values = pos_col.values.to_numpy().astype(np.int64)
+    pos_values = pos_col.values.to_numpy()        # int32
 
-    order = np.lexsort((field, doc, term))
+    # sort by (term, doc) only — rows of the same (term, doc) merge via
+    # commutative accumulation, so field order inside a group is free
+    order = np.lexsort((doc, term))
     term, doc, field, tf, dl = (term[order], doc[order], field[order],
                                 tf[order], dl[order])
+    tf = tf.astype(np.int64)
 
     # (term, doc) group boundaries
     new_td = np.empty(len(term), dtype=bool)
@@ -107,31 +110,92 @@ def encode_shard(postings: pa.Table, config: IndexConfig, salt: int,
     new_t[1:] = g_term[1:] != g_term[:-1]
     t_starts = np.flatnonzero(new_t)
     t_ends = np.append(t_starts[1:], n_td)
-
-    out = {k: [] for k in ("term_id", "salt", "df", "cf", "max_tfq",
-                           "doc_blob", "dl_blob", "tf_blobs", "pos_blob",
-                           "bm_blob")}
+    n_terms = len(t_starts)
     k1, b, bs = config.k1, config.b, config.block_size
-    for s, e in zip(t_starts, t_ends):
-        docs = g_doc[s:e]
-        dls = g_dl[s:e]
-        tfq_t = tfq[s:e]
-        out["term_id"].append(int(g_term[s]))
-        out["salt"].append(salt)
-        out["df"].append(int(e - s))
-        out["cf"].append(int(tfs[s:e].sum()))
-        out["max_tfq"].append(int(tfq_t.max()))
-        out["doc_blob"].append(varbyte.encode_deltas(docs))
-        out["dl_blob"].append(dls.astype("<f4").tobytes())
-        out["tf_blobs"].append([varbyte.encode(tfs[s:e, f])
-                                for f in range(NUM_FIELDS)])
-        plists = [flat_pos[grp_pos_offsets[g]:grp_pos_offsets[g + 1]]
-                  for g in range(s, e)]
-        out["pos_blob"].append(varbyte.encode_nested(plists))
-        bm = max_block_impact(tfq_t.astype(np.float64) / 4.0, dls,
-                              avgdl, k1, b, bs)
-        out["bm_blob"].append(bm.astype("<f4").tobytes())
+
+    # --- vectorized per-term encodes (no per-term Python varbyte calls;
+    # each slice below is byte-identical to encoding that term alone) ---
+
+    # docId deltas with reset at term starts
+    doc_deltas = g_doc.copy()
+    doc_deltas[1:] -= g_doc[:-1]
+    doc_deltas[t_starts] = g_doc[t_starts]
+    doc_all, doc_offs = varbyte.encode_segmented(doc_deltas, t_starts)
+    doc_view = memoryview(doc_all)
+
+    # per-field tf streams
+    tf_all, tf_offs = [], []
+    for f in range(NUM_FIELDS):
+        blob, offs = varbyte.encode_segmented(
+            tfs[:, f].astype(np.uint64), t_starts)
+        tf_all.append(memoryview(blob))
+        tf_offs.append(offs)
+
+    # float32 dl stream: per-term slice of the packed array
+    dl_bytes = memoryview(g_dl.astype("<f4").tobytes())
+
+    # nested positions: per (term,doc) group [count, delta positions...]
+    n_pos = len(flat_pos)
+    nested_lens = 1 + grp_pos_counts
+    nested_offs = np.concatenate([[0], np.cumsum(nested_lens)])
+    flat_nested = np.empty(n_td + n_pos, dtype=np.uint64)
+    flat_nested[nested_offs[:-1]] = grp_pos_counts.astype(np.uint64)
+    if n_pos:
+        pos_deltas = flat_pos.astype(np.uint64)
+        pd = pos_deltas.copy()
+        pd[1:] -= pos_deltas[:-1]
+        gstarts = grp_pos_offsets[:-1][grp_pos_counts > 0]
+        pd[gstarts] = pos_deltas[gstarts]
+        local = (np.arange(n_pos, dtype=np.int64) -
+                 np.repeat(grp_pos_offsets[:-1], grp_pos_counts))
+        slots = (np.repeat(nested_offs[:-1], grp_pos_counts) + 1 + local)
+        flat_nested[slots] = pd
+    pos_all, pos_offs = varbyte.encode_segmented(
+        flat_nested, nested_offs[t_starts])
+    pos_view = memoryview(pos_all)
+
+    # per-block max impacts (block-max WAND metadata)
+    s_all = _scores_noidf(tfq.astype(np.float64) / 4.0, g_dl, avgdl, k1, b)
+    df_per_term = t_ends - t_starts
+    nblocks = (df_per_term + bs - 1) // bs
+    blk_starts = (np.repeat(t_starts, nblocks) +
+                  _ragged_arange(nblocks) * bs).astype(np.int64)
+    bm_all = np.maximum.reduceat(s_all, blk_starts)
+    bm32 = bm_all.astype(np.float32)
+    low = bm32.astype(np.float64) < bm_all
+    bm32[low] = np.nextafter(bm32[low], np.float32(np.inf))
+    bm_bytes = memoryview(bm32.astype("<f4").tobytes())
+    bm_offs = np.concatenate([[0], np.cumsum(nblocks)])
+
+    # per-term cf / max_tfq via segmented reductions
+    cf_all = np.add.reduceat(tfs.sum(axis=1), t_starts)
+    maxtfq_all = np.maximum.reduceat(tfq, t_starts)
+
+    out = {
+        "term_id": g_term[t_starts],
+        "salt": np.full(n_terms, salt, dtype=np.int32),
+        "df": df_per_term.astype(np.int64),
+        "cf": cf_all.astype(np.int64),
+        "max_tfq": maxtfq_all.astype(np.int64),
+        "doc_blob": [bytes(doc_view[doc_offs[i]:doc_offs[i + 1]])
+                     for i in range(n_terms)],
+        "dl_blob": [bytes(dl_bytes[t_starts[i] * 4:t_ends[i] * 4])
+                    for i in range(n_terms)],
+        "tf_blobs": [[bytes(tf_all[f][tf_offs[f][i]:tf_offs[f][i + 1]])
+                      for f in range(NUM_FIELDS)] for i in range(n_terms)],
+        "pos_blob": [bytes(pos_view[pos_offs[i]:pos_offs[i + 1]])
+                     for i in range(n_terms)],
+        "bm_blob": [bytes(bm_bytes[bm_offs[i] * 4:bm_offs[i + 1] * 4])
+                    for i in range(n_terms)],
+    }
     return pa.table(out, schema=SEGMENT_SCHEMA)
+
+
+def _scores_noidf(tf_w: np.ndarray, dl_w: np.ndarray, avgdl: float,
+                  k1: float, b: float) -> np.ndarray:
+    from ..functions.bm25 import term_scores
+
+    return term_scores(tf_w, dl_w, avgdl, k1, b, 1.0)
 
 
 def _ragged_arange(lens: np.ndarray) -> np.ndarray:

@@ -22,6 +22,8 @@ Vocabulary model (FIXTURES.md §1):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -162,3 +164,22 @@ def transcripts_dataset(n_conv: int, *, shuffle: bool = False,
 def transcripts_table(n_conv: int) -> pa.Table:
     """Driver-side table (tests / oracle) — identical rows to the Dataset."""
     return generate_conv_rows(np.arange(n_conv))
+
+
+def transcripts_parquet(n_conv: int, root: str = "/tmp/osse_transcripts"):
+    """Materialize the synthetic corpus to partitioned Parquet once and
+    return a read factory — the realistic input shape (``input_hint``: the
+    corpus is a Parquet table on shared storage; the build reads it with
+    column pruning rather than re-running the generator per pass)."""
+    import ray.data
+
+    path = os.path.join(root, f"n{n_conv}")
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        transcripts_dataset(n_conv).write_parquet(path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return lambda: ray.data.read_parquet(path)

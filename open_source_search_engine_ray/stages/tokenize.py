@@ -22,6 +22,18 @@ from ..functions.ghash import doc_ids_for_convs
 from ..functions.tokenizer import TokenHashCache, terms_for_texts, tokenize
 
 
+def _maybe_get(ref):
+    """Resolve a value that may be an ObjectRef (map_batches
+    fn_constructor_kwargs keep refs; actor-constructor args auto-resolve)."""
+    if ref is None:
+        return None
+    import ray
+
+    if isinstance(ref, ray.ObjectRef):
+        return ray.get(ref)
+    return ref
+
+
 def _doc_ids_for_column(conv_col) -> np.ndarray:
     """Vectorized doc ids with a tiny per-batch memo over unique conv ids."""
     convs = conv_col.to_pylist()
@@ -87,21 +99,18 @@ class TokenizePostings:
 
     def __init__(self, config: IndexConfig | None = None,
                  dl_ref=None, hot_ref=None):
-        import ray
         self.config = config or IndexConfig()
         self.cache = TokenHashCache()
-        if dl_ref is not None:
-            dl_doc_ids, dl_vals = ray.get(dl_ref)
-            self.dl_doc_ids = dl_doc_ids  # sorted uint64
-            self.dl_vals = dl_vals        # float32
+        dl = _maybe_get(dl_ref)
+        if dl is not None:
+            self.dl_doc_ids, self.dl_vals = dl  # sorted uint64, float32
         else:
             self.dl_doc_ids = None
             self.dl_vals = None
         # hot map: term_id (uint64 sorted) → dense hot index
-        if hot_ref is not None:
-            self.hot_terms = ray.get(hot_ref)
-        else:
-            self.hot_terms = np.zeros(0, dtype=np.uint64)
+        hot = _maybe_get(hot_ref)
+        self.hot_terms = (hot if hot is not None
+                          else np.zeros(0, dtype=np.uint64))
 
     def _lookup_dl(self, doc_ids: np.ndarray) -> np.ndarray:
         if self.dl_doc_ids is None:
@@ -128,7 +137,9 @@ class TokenizePostings:
                 shard)
         return shard
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def process(self, batch: pa.Table):
+        """→ (postings table, per-turn stats table).  The stats side reuses
+        the same tokenization pass (fused build: one read, one tokenize)."""
         texts = batch["text"].to_pylist()
         row_doc = _doc_ids_for_column(batch["conv_id"])
         row_field = _fields_for(batch["role"], batch["tool"])
@@ -137,8 +148,22 @@ class TokenizePostings:
         rows, terms, pos, is_big = terms_for_texts(
             [t or "" for t in texts], self.cache,
             index_bigrams=self.config.index_bigrams)
+
+        # per-turn word-token counts → doc-stat partials
+        n = len(texts)
+        counts = np.zeros(n, dtype=np.int64)
+        if len(rows):
+            np.add.at(counts, rows[~is_big], 1)
+        lens = np.zeros((n, NUM_FIELDS), dtype=np.int64)
+        lens[np.arange(n), row_field] = counts
+        stat_cols = {"doc_id": pa.array(row_doc, pa.uint64()),
+                     "conv_id": batch["conv_id"]}
+        for f in range(NUM_FIELDS):
+            stat_cols[f"len_f{f}"] = pa.array(lens[:, f], pa.int64())
+        stats = pa.table(stat_cols)
+
         if len(terms) == 0:
-            return pa.table({
+            empty = pa.table({
                 "term_id": pa.array([], pa.uint64()),
                 "doc_id": pa.array([], pa.uint64()),
                 "field": pa.array([], pa.uint8()),
@@ -147,6 +172,7 @@ class TokenizePostings:
                 "dl": pa.array([], pa.float32()),
                 "shard": pa.array([], pa.int32()),
             })
+            return empty, stats
 
         doc = row_doc[rows]
         field = row_field[rows]
@@ -177,7 +203,7 @@ class TokenizePostings:
 
         dl = self._lookup_dl(g_doc)
         shard = self._shards(g_term, g_doc)
-        return pa.table({
+        postings = pa.table({
             "term_id": pa.array(g_term, pa.uint64()),
             "doc_id": pa.array(g_doc, pa.uint64()),
             "field": pa.array(g_field, pa.uint8()),
@@ -186,3 +212,7 @@ class TokenizePostings:
             "dl": pa.array(dl, pa.float32()),
             "shard": pa.array(shard, pa.int32()),
         })
+        return postings, stats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.process(batch)[0]
