@@ -1,15 +1,21 @@
-"""Query engine over a built index.
+"""Query engine over a built index (single- or multi-generation).
 
 ``IndexSearcher`` is the single-process search path (segment readers +
-decoded-list cache, loaded once — the page-cache / ``Msg5`` analogue).  It
-is used three ways:
+decoded-list cache, loaded once — the page-cache / ``Msg5`` analogue).  A
+multi-generation index (see index/merge.py) is a union of per-generation
+segment sets: a term's postings are fetched from every generation, each
+generation filtered by the tombstone set (the ``DocumentIndexChecker`` /
+newest-file-wins filtering of ``Msg39.cpp:408`` / ``RdbList.cpp:2361``),
+then merged docId-sorted.  df is the live posting count after filtering,
+and N/avgdl come from the refreshed live stats — so scores over an
+incrementally-maintained index are exactly those of a fresh build over the
+live corpus (asserted in tests/test_incremental.py).
 
-- driver-side single-query latency (bench p50);
-- inside a Ray actor pool for batch query evaluation
-  (``queries_ds.map_batches(QueryEvalStage, concurrency=N)``) — the
-  fan-out/merge analogue of ``Msg39``/``Msg3a`` for a *term-partitioned*
-  index: a query only touches the shards owning its terms;
-- by tests comparing against the oracle.
+It is used three ways: driver-side single-query latency (bench p50);
+inside a Ray actor pool for batch evaluation
+(``queries_ds.map_batches(QueryEvalStage, concurrency=N)`` — the
+``Msg39``/``Msg3a`` fan-out analogue for a term-partitioned index); and by
+tests comparing against the oracle.
 """
 
 from __future__ import annotations
@@ -28,27 +34,23 @@ from .kernel import TermPostings, evaluate
 from .parse import ParsedQuery, parse_query
 
 
-class IndexSearcher:
-    def __init__(self, index_dir: str):
-        self.index_dir = index_dir
+class _GenIndex:
+    """Readers + hot map for one generation directory."""
+
+    def __init__(self, gen: int, index_dir: str):
+        self.gen = gen
+        self.dir = index_dir
         self.meta = load_meta(index_dir)
-        cfg = dict(self.meta["config"])
-        cfg["field_weights"] = tuple(cfg["field_weights"])
-        self.config = IndexConfig(**cfg)
-        self.n_docs = int(self.meta["n_docs"])
-        self.avgdl = float(self.meta["avgdl"])
         self.p = int(self.meta["num_partitions"])
         self.s = int(self.meta["num_salts"])
         self.hot_terms = np.asarray(self.meta["hot_terms"], dtype=np.uint64)
         self._readers: dict[int, SegmentReader | None] = {}
-        self._cache: dict[tuple[int, bool], TermPostings | None] = {}
 
     def _reader(self, shard: int) -> SegmentReader | None:
         r = self._readers.get(shard, False)
         if r is not False:
             return r
-        path = segment_path(self.index_dir, shard,
-                            self.meta.get("generation", 0))
+        path = segment_path(self.dir, shard, 0)
         r = SegmentReader(path) if os.path.exists(path) else None
         self._readers[shard] = r
         return r
@@ -62,6 +64,50 @@ class IndexSearcher:
                 return list(range(base, base + self.s))
         return [int(t % np.uint64(self.p))]
 
+    def raw_postings(self, term_id: int,
+                     with_positions: bool = False) -> list[dict]:
+        decoded = []
+        for shard in self.shards_for_term(term_id):
+            rd = self._reader(shard)
+            if rd is None:
+                continue
+            tbl = rd.read_terms([term_id])
+            decoded.extend(decode_posting_row(r, with_positions)
+                           for r in tbl.to_pylist())
+        return decoded
+
+
+class IndexSearcher:
+    def __init__(self, index_dir: str):
+        from ..index.merge import gen_dir, read_generations, read_tombstones
+
+        self.index_dir = index_dir
+        gens_doc = read_generations(index_dir)
+        self._gens = [
+            _GenIndex(g["gen"], gen_dir(index_dir, g["gen"]))
+            for g in sorted(gens_doc["generations"], key=lambda g: g["gen"])]
+        self.meta = self._gens[0].meta
+        cfg = dict(self.meta["config"])
+        cfg["field_weights"] = tuple(cfg["field_weights"])
+        self.config = IndexConfig(**cfg)
+        live = gens_doc.get("live_stats")
+        if live:
+            self.n_docs = int(live["n_docs"])
+            self.avgdl = float(live["avgdl"])
+        else:
+            self.n_docs = int(self.meta["n_docs"])
+            self.avgdl = float(self.meta["avgdl"])
+        self.tomb_doc, self.tomb_dead = read_tombstones(index_dir)
+        self._cache: dict[tuple[int, bool], TermPostings | None] = {}
+
+    def _dead_mask(self, doc_ids: np.ndarray, gen: int) -> np.ndarray:
+        """True where the doc is tombstoned for this generation."""
+        if len(self.tomb_doc) == 0 or len(doc_ids) == 0:
+            return np.zeros(len(doc_ids), dtype=bool)
+        idx = np.clip(np.searchsorted(self.tomb_doc, doc_ids), 0,
+                      len(self.tomb_doc) - 1)
+        return (self.tomb_doc[idx] == doc_ids) & (self.tomb_dead[idx] >= gen)
+
     def get_postings(self, term_id: int,
                      with_positions: bool = False) -> TermPostings | None:
         key = (term_id, with_positions)
@@ -69,31 +115,36 @@ class IndexSearcher:
             return self._cache[key]
         if (term_id, True) in self._cache:
             return self._cache[(term_id, True)]
-        rows = []
-        for shard in self.shards_for_term(term_id):
-            rd = self._reader(shard)
-            if rd is None:
-                continue
-            tbl = rd.read_terms([term_id])
-            rows.extend(tbl.to_pylist())
-        if not rows:
+        docs_parts, tfs_parts, dl_parts, pos_parts = [], [], [], []
+        single_bm = None
+        n_parts = 0
+        for g in self._gens:
+            for d in g.raw_postings(term_id, with_positions):
+                alive = ~self._dead_mask(d["doc_ids"], g.gen)
+                if not alive.any():
+                    continue
+                n_parts += 1
+                single_bm = d["block_max"] if alive.all() else None
+                docs_parts.append(d["doc_ids"][alive])
+                tfs_parts.append(d["tfs"][alive])
+                dl_parts.append(d["dl"][alive])
+                if with_positions:
+                    pos_parts.extend(
+                        p for p, a in zip(d["positions"], alive) if a)
+        if not docs_parts:
             self._cache[key] = None
             return None
-        decoded = [decode_posting_row(r, with_positions) for r in rows]
-        docs = np.concatenate([d["doc_ids"] for d in decoded])
-        tfs = np.concatenate([d["tfs"] for d in decoded])
-        dl = np.concatenate([d["dl"] for d in decoded])
+        docs = np.concatenate(docs_parts)
+        tfs = np.concatenate(tfs_parts)
+        dl = np.concatenate(dl_parts)
         order = np.argsort(docs, kind="stable")
         tp = TermPostings(
             doc_ids=docs[order], tfs=tfs[order], dl=dl[order],
-            df=int(sum(d["df"] for d in decoded)),
+            df=int(len(docs)),
             positions=None,
-            block_max=None if len(decoded) > 1 else decoded[0]["block_max"])
+            block_max=single_bm if n_parts == 1 else None)
         if with_positions:
-            pos = []
-            for d in decoded:
-                pos.extend(d["positions"])
-            tp.positions = [pos[i] for i in order]
+            tp.positions = [pos_parts[i] for i in order]
         self._cache[key] = tp
         return tp
 

@@ -161,6 +161,20 @@ def transcripts_dataset(n_conv: int, *, shuffle: bool = False,
     return ds
 
 
+def transcripts_dataset_range(start: int, stop: int, *,
+                              override_num_blocks: int | None = None):
+    """Dataset over a conv-index range [start, stop) — incremental ingest."""
+    import ray.data
+
+    blocks = override_num_blocks or max(4, min(64, (stop - start) // 2000 or 4))
+    ds = ray.data.range(stop - start, override_num_blocks=blocks)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return generate_conv_rows(batch["id"].to_numpy() + start)
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
 def transcripts_table(n_conv: int) -> pa.Table:
     """Driver-side table (tests / oracle) — identical rows to the Dataset."""
     return generate_conv_rows(np.arange(n_conv))

@@ -1,0 +1,98 @@
+"""Incremental maintenance invariants: a multi-generation index with
+appends, tombstone deletes, revivals and compaction scores exactly like a
+fresh build / oracle over the live corpus."""
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from open_source_search_engine_ray.functions.ghash import doc_ids_for_convs
+from open_source_search_engine_ray.index.build import build_index
+from open_source_search_engine_ray.index.merge import (
+    add_documents, compact, delete_convs, read_generations)
+from open_source_search_engine_ray.query.engine import IndexSearcher
+from open_source_search_engine_ray.query.oracle import OracleIndex
+from open_source_search_engine_ray.sources.queryset import query_set
+from open_source_search_engine_ray.sources.transcripts import (
+    generate_conv_rows, transcripts_dataset, transcripts_dataset_range)
+
+IDX = "/tmp/osse_incr_idx"
+BASE = 200
+EXTRA = 100
+DELETED = [f"conv-{i:08d}" for i in list(range(10, 30)) + [205, 211]]
+REVIVED = ["conv-00000015"]
+
+
+def _live_table() -> pa.Table:
+    dead = set(DELETED) - set(REVIVED)
+    idx = [i for i in range(BASE + EXTRA)
+           if f"conv-{i:08d}" not in dead]
+    return generate_conv_rows(np.asarray(idx))
+
+
+@pytest.fixture(scope="module")
+def incr_index(ray_session):
+    shutil.rmtree(IDX, ignore_errors=True)
+    build_index(lambda: transcripts_dataset(BASE), IDX,
+                input_token=f"incr:base:{BASE}")
+    # generation 1: append new conversations
+    add_documents(IDX, lambda: transcripts_dataset_range(BASE, BASE + EXTRA),
+                  input_token=f"incr:add:{BASE}-{BASE + EXTRA}")
+    # tombstone deletes across both generations
+    delete_convs(IDX, DELETED)
+    # revival: re-add one deleted conversation in a new generation
+    revived_idx = [int(c.split("-")[1]) for c in REVIVED]
+    add_documents(
+        IDX,
+        lambda: transcripts_dataset_range(revived_idx[0], revived_idx[0] + 1),
+        input_token="incr:revive")
+    return IDX
+
+
+@pytest.fixture(scope="module")
+def live_oracle():
+    return OracleIndex(_live_table())
+
+
+def test_generations_recorded(incr_index):
+    gens = read_generations(incr_index)
+    assert [g["gen"] for g in gens["generations"]] == [0, 1, 2]
+    assert gens["live_stats"]["n_docs"] == BASE + EXTRA - len(DELETED) + 1
+
+
+def test_incremental_rank_identity(incr_index, live_oracle):
+    se = IndexSearcher(incr_index)
+    assert se.n_docs == live_oracle.n_docs
+    assert se.avgdl == live_oracle.avgdl
+    for qid, q, k in query_set():
+        d1, s1 = se.search(q, k)
+        d2, s2 = live_oracle.search(q, k)
+        assert list(d1) == list(d2), (qid, q)
+        assert list(s1) == list(s2), (qid, q)
+
+
+def test_deleted_docs_absent(incr_index):
+    se = IndexSearcher(incr_index)
+    dead_ids = set(
+        int(d) for d in doc_ids_for_convs(
+            [c for c in DELETED if c not in REVIVED]))
+    d, _ = se.search("the", 200)
+    assert not (set(int(x) for x in d) & dead_ids)
+
+
+def test_compaction_preserves_results(incr_index, live_oracle, ray_session):
+    idx2 = IDX + "_compact"
+    shutil.rmtree(idx2, ignore_errors=True)
+    shutil.copytree(IDX, idx2)
+    compact(idx2)
+    gens = read_generations(idx2)
+    assert [g["gen"] for g in gens["generations"]] == [0]
+    se = IndexSearcher(idx2)
+    for qid, q, k in query_set():
+        d1, s1 = se.search(q, k)
+        d2, s2 = live_oracle.search(q, k)
+        assert list(d1) == list(d2), (qid, q)
+        assert list(s1) == list(s2), (qid, q)
+    shutil.rmtree(idx2, ignore_errors=True)
