@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_doc_stats": transcripts_flagship.transcripts_doc_stats,
         "transcripts_index_manifests":
             transcripts_flagship.transcripts_index_manifests,
+        "transcripts_search_snippets":
+            transcripts_flagship.transcripts_search_snippets,
         # document search with SQL-replicable semantics
         "bm25_topk_docs": doc_search.bm25_topk_docs,
         "doc_term_df": doc_search.doc_term_df,

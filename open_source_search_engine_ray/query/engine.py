@@ -138,11 +138,30 @@ class IndexSearcher:
         tfs = np.concatenate(tfs_parts)
         dl = np.concatenate(dl_parts)
         order = np.argsort(docs, kind="stable")
+        # stored block maxima are admissible only for an untouched
+        # single-generation single-split list scored with the build avgdl
+        stored_ok = (n_parts == 1 and single_bm is not None
+                     and len(self._gens) == 1
+                     and len(self.tomb_doc) == 0
+                     and float(self.meta["avgdl"]) == self.avgdl)
         tp = TermPostings(
             doc_ids=docs[order], tfs=tfs[order], dl=dl[order],
             df=int(len(docs)),
             positions=None,
-            block_max=single_bm if n_parts == 1 else None)
+            block_max=single_bm if stored_ok else None)
+        if tp.block_max is None and tp.df >= 4096:
+            # recompute (once, cached): salted/merged/maintained lists keep
+            # a pruning path too — the cost is one scan, amortized across
+            # queries hitting this term
+            from ..functions.bm25 import max_block_impact
+
+            wq = np.asarray([int(round(w * 4))
+                             for w in self.config.field_weights],
+                            dtype=np.int64)
+            tfw = (tp.tfs @ wq).astype(np.float64) / 4.0
+            tp.block_max = max_block_impact(
+                tfw, tp.dl, self.avgdl, self.config.k1, self.config.b,
+                self.config.block_size)
         if with_positions:
             tp.positions = [pos_parts[i] for i in order]
         self._cache[key] = tp

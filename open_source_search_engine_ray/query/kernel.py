@@ -75,10 +75,68 @@ def _phrase_docs(chain: list[int], lists: dict[int, TermPostings | None]) -> np.
     return np.asarray(keep, dtype=np.uint64)
 
 
+def _blockmax_single_term(t, tp: TermPostings, n_docs: int, avgdl: float,
+                          config: IndexConfig, k: int):
+    """Impact-ordered single-term top-k via per-block maxima: visit blocks
+    in descending stored max impact, stop when the next block's bound is
+    strictly below the current k-th score (ties continue, so the result is
+    identical to the exact scan — asserted in tests).
+
+    This is the direct analogue of the reference's
+    ``getMaxPossibleScore``-vs-``minWinningScore`` pruning
+    (``PosdbTable.cpp:4102-4264,3726-3781``) with precomputed block bounds.
+    """
+    wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
+                    dtype=np.int64)
+    iv = float(bm25_idf(tp.df, n_docs))
+    bs = config.block_size
+    # tiny inflation keeps the bound admissible under float multiplication
+    # reordering (bound and contribution multiply iv/weight in different
+    # orders; 1e-12 relative covers the ulp drift)
+    bm = (tp.block_max.astype(np.float64) * iv * np.float64(t.weight)
+          * np.float64(1.0 + 1e-12))
+    order = np.argsort(-bm, kind="stable")
+    cand_docs: list[np.ndarray] = []
+    cand_scores: list[np.ndarray] = []
+    heap_kth = -np.inf
+    n_seen = 0
+    tfw_all = _tf_weighted(tp, t.field, wq)
+    for bi in order:
+        if bm[bi] < heap_kth and n_seen >= k:
+            break
+        s = bi * bs
+        e = min(s + bs, len(tp.doc_ids))
+        contrib = np.float64(t.weight) * term_scores(
+            tfw_all[s:e], tp.dl[s:e], avgdl, config.k1, config.b, iv)
+        cand_docs.append(tp.doc_ids[s:e])
+        cand_scores.append(contrib)
+        n_seen += e - s
+        if n_seen >= k:
+            allsc = np.concatenate(cand_scores)
+            if len(allsc) >= k:
+                heap_kth = np.partition(allsc, len(allsc) - k)[len(allsc) - k]
+    docs = np.concatenate(cand_docs)
+    scores = np.concatenate(cand_scores)
+    return topk_merge(docs, scores, k)
+
+
 def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
-             n_docs: int, avgdl: float, config: IndexConfig, k: int):
+             n_docs: int, avgdl: float, config: IndexConfig, k: int,
+             prune: bool = True):
     """→ (doc_ids desc-by-score, scores float64).  ``lists`` maps term_id →
-    TermPostings (or None when the term is absent from the index)."""
+    TermPostings (or None when the term is absent from the index).
+
+    ``prune=True`` enables the block-max fast path where applicable; it is
+    result-identical to the exact path (tests/test_pruning.py)."""
+    if prune and not query.phrases:
+        positives_all = [t for t in query.terms
+                         if not t.negative and not t.is_bigram]
+        if (len(query.terms) == 1 and len(positives_all) == 1):
+            t = positives_all[0]
+            tp = lists.get(t.term_id)
+            if (tp is not None and tp.block_max is not None
+                    and t.field is None and tp.df > 4 * k):
+                return _blockmax_single_term(t, tp, n_docs, avgdl, config, k)
     wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
                     dtype=np.int64)
 
