@@ -130,6 +130,20 @@ def main() -> None:
         lo, hi = (int(x) for x in os.environ.get(
             "GRAFT_SCALING_CPUS", "4,16").split(","))
         n_conv = int(os.environ.get("GRAFT_SCALING_NCONV", "200000"))
+        # pre-generate the shared input corpus at full parallelism so the
+        # low-cpu run doesn't pay generation cost
+        import ray
+
+        ray.init(address="local", num_cpus=os.cpu_count(),
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        from open_source_search_engine_ray.sources.transcripts import (
+            transcripts_parquet)
+        transcripts_parquet(n_conv)
+        ray.shutdown()
+
         reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
         best: dict[int, float] = {}
         for cpus in (lo, hi):

@@ -248,7 +248,9 @@ def _build_fused_spill(transcripts_ds_factory, out_dir: str,
         shutil.rmtree(store_dir, ignore_errors=True)
     spill_dir = os.path.join(out_dir, "tmp_spill")
     shutil.rmtree(spill_dir, ignore_errors=True)
-    num_writers = max(2, cpus)
+    # writers reserve 0.7 CPU each (spill.py); keep ≥1 full CPU free or the
+    # upstream read tasks can never schedule and the split pull deadlocks
+    num_writers = min(cpus, max(1, int((cpus - 1) / 0.7)))
     run_files, stats_df, spill_timings = spill_postings(
         transcripts_ds_factory(), spill_dir,
         store_dir if (write_docstore and not docstore_done) else None,

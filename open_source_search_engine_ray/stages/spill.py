@@ -42,8 +42,6 @@ from .tokenize import TokenizePostings
 
 FLUSH_ROWS = 1_500_000
 DOCSTORE_FLUSH_ROWS = 500_000
-RUN_ROW_GROUP = 65_536
-MIN_RG = 8_192
 
 
 class SpillWriter:
