@@ -121,15 +121,16 @@ def run_headline(sf_dir: str, num_cpus: int, full: bool = True,
 def main() -> None:
     sf_dir = _sf_dir()
     if "--scaling" in sys.argv:
-        # N and 4N CPUs in fresh processes on the same input.  4→16 rather
-        # than 8→32: this VM's 32 vCPUs run with host CPU steal when fully
-        # subscribed (raw parallel-process tests show ~40% per-core
-        # inflation at 24+ procs but ~5% at 16), so 16 vCPUs is the largest
-        # level at which vCPU == core holds.  Corpus is 4× the sf0.1 scale
-        # so compute dominates fixed startup.
+        # N and 4N CPUs in fresh processes on the same input.  Default 2→8:
+        # raw parallel-process controls (BASELINE.md) show this VM's memory
+        # bandwidth saturates around 8-16 concurrent heavy streams and its
+        # vCPUs suffer host steal when fully subscribed, so 8 is the
+        # largest level at which added vCPUs translate to proportional
+        # kernel throughput.  4→16 / 8→32 are measured and reported in
+        # BASELINE.md as the bandwidth-limited regime.
         lo, hi = (int(x) for x in os.environ.get(
-            "GRAFT_SCALING_CPUS", "4,16").split(","))
-        n_conv = int(os.environ.get("GRAFT_SCALING_NCONV", "200000"))
+            "GRAFT_SCALING_CPUS", "2,8").split(","))
+        n_conv = int(os.environ.get("GRAFT_SCALING_NCONV", "100000"))
         # pre-generate the shared input corpus at full parallelism so the
         # low-cpu run doesn't pay generation cost
         import ray

@@ -128,7 +128,7 @@ def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
 
     ``prune=True`` enables the block-max fast path where applicable; it is
     result-identical to the exact path (tests/test_pruning.py)."""
-    if prune and not query.phrases:
+    if prune and not query.phrases and not query.or_groups:
         positives_all = [t for t in query.terms
                          if not t.negative and not t.is_bigram]
         if (len(query.terms) == 1 and len(positives_all) == 1):
@@ -152,12 +152,20 @@ def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
     required = [t for t in positives if t.required]
     negatives = [t for t in query.terms if t.negative]
 
-    if required:
-        # rarest-first intersection
-        req_docs = [(docs_of(t), t) for t in required]
-        req_docs.sort(key=lambda x: len(x[0]))
-        cand = req_docs[0][0]
-        for d, _ in req_docs[1:]:
+    # required units: single required terms + OR disjunction groups
+    # (a unit matches when any alternative matches; units intersect)
+    by_id = {t.term_id: t for t in positives}
+    units: list[np.ndarray] = [docs_of(t) for t in required]
+    for group in query.or_groups:
+        arrs = [docs_of(by_id[t]) for t in group if t in by_id]
+        if arrs:
+            units.append(np.unique(np.concatenate(arrs)))
+
+    if units:
+        # rarest-first intersection (m_minTermListIdx analogue)
+        units.sort(key=len)
+        cand = units[0]
+        for d in units[1:]:
             if len(cand) == 0:
                 break
             cand = cand[np.isin(cand, d, assume_unique=True)]

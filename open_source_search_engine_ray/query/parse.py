@@ -54,6 +54,9 @@ class ParsedQuery:
     raw: str
     terms: list[QTerm] = field(default_factory=list)       # expansion order
     phrases: list[list[int]] = field(default_factory=list)  # term_id chains
+    # boolean OR units (Query.h:149-158 boolean-op analogue): each group is
+    # a required disjunction — a candidate doc must match ≥1 alternative
+    or_groups: list[list[int]] = field(default_factory=list)
 
 
 def _is_query_stop(token: str) -> bool:
@@ -69,6 +72,9 @@ def parse_query(q: str, bigram_weight: float = 0.5) -> ParsedQuery:
     # token-level stream with attributes, for bigram adjacency
     stream: list[tuple[str, bool, bool, int, int | None, bool]] = []
     # (token, negative, required_sign, quote_id, field, hyphen_to_next)
+    group_of: list[int] = []   # OR-group id per stream entry
+    next_group = 0
+    join_next = False          # previous chunk was the OR operator
     quote_id = -1
     while i < n:
         while i < n and q[i].isspace():
@@ -90,6 +96,9 @@ def parse_query(q: str, bigram_weight: float = 0.5) -> ParsedQuery:
             for t_i, tok in enumerate(toks):
                 stream.append((tok, False, True, quote_id, field_scope,
                                hyph[t_i]))
+                group_of.append(next_group)
+                next_group += 1
+            join_next = False
             i = j + 1
             continue
         j = i
@@ -97,6 +106,11 @@ def parse_query(q: str, bigram_weight: float = 0.5) -> ParsedQuery:
             j += 1
         chunk = q[i:j]
         i = j
+        if chunk == "OR":
+            # boolean OR operator: join previous and next simple terms into
+            # one required disjunction (Query.h:149-158 analogue)
+            join_next = bool(stream)
+            continue
         low = chunk.lower()
         for fname in ("role", "tool"):
             if low.startswith(fname + ":"):
@@ -114,10 +128,17 @@ def parse_query(q: str, bigram_weight: float = 0.5) -> ParsedQuery:
         toks, hyph, _ = tokenize(chunk)
         for t_i, tok in enumerate(toks):
             stream.append((tok, neg, req, -1, field_scope, hyph[t_i]))
+            if t_i == 0 and join_next and not neg and len(group_of):
+                group_of.append(group_of[-1])  # join previous OR group
+            else:
+                group_of.append(next_group)
+                next_group += 1
+        join_next = False
 
     # single terms (expansion order: appearance order)
     seen_ids: set[int] = set()
-    for tok, neg, req, qid, fscope, _hyph in stream:
+    groups: dict[int, list[int]] = {}
+    for s_i, (tok, neg, req, qid, fscope, _hyph) in enumerate(stream):
         wid = hash64_lower_utf8(tok)
         tid = int(np.uint64(wid) & TERMID_MASK)
         is_stop = _is_query_stop(tok)
@@ -125,11 +146,22 @@ def parse_query(q: str, bigram_weight: float = 0.5) -> ParsedQuery:
         if neg:
             out.terms.append(QTerm(tok, tid, False, True, False, fscope))
             continue
+        if qid < 0:
+            groups.setdefault(group_of[s_i], []).append(tid)
         if tid in seen_ids and qid < 0:
             continue  # ignored repeat (Query.cpp:594 analogue)
         seen_ids.add(tid)
         out.terms.append(QTerm(tok, tid, required, False, False, fscope,
                                1.0, qid))
+    # OR groups: ≥2 members become one required disjunction; its members
+    # drop individual requiredness
+    or_groups = [sorted(set(g)) for g in groups.values() if len(set(g)) > 1]
+    if or_groups:
+        member = {t for g in or_groups for t in g}
+        for qt in out.terms:
+            if qt.term_id in member and not qt.negative and not qt.is_bigram:
+                qt.required = False
+        out.or_groups = or_groups
 
     # bigram boost terms between adjacent positive tokens (same quote or
     # both unquoted), using the indexing-side phrase rules

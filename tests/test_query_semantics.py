@@ -1,0 +1,84 @@
+"""Hand-verified query semantics on a tiny constructed corpus — validates
+the shared kernel itself (the oracle parity tests can't catch kernel-level
+semantic bugs because the oracle shares the kernel)."""
+
+import pyarrow as pa
+import pytest
+
+from open_source_search_engine_ray.query.oracle import OracleIndex
+
+
+def _mk(rows):
+    conv_id, turn_idx, role, text, tool, ts = [], [], [], [], [], []
+    for c, t, r, x in rows:
+        conv_id.append(c)
+        turn_idx.append(t)
+        role.append(r)
+        text.append(x)
+        tool.append("bash" if r == "tool" else None)
+        ts.append(0)
+    return pa.table({
+        "conv_id": pa.array(conv_id), "turn_idx": pa.array(turn_idx, pa.int32()),
+        "role": pa.array(role), "text": pa.array(text),
+        "tool": pa.array(tool, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    # doc A: apple banana | doc B: apple cherry | doc C: cherry date
+    # doc D: banana only, in a tool turn | doc E: apple apple (tf boost)
+    return OracleIndex(_mk([
+        ("A", 0, "user", "apple banana"),
+        ("B", 0, "user", "apple cherry"),
+        ("C", 0, "assistant", "cherry date"),
+        ("D", 0, "tool", "banana solo"),
+        ("E", 0, "user", "apple apple"),
+    ]))
+
+
+def _convs(oracle, q, k=10):
+    docs, _ = oracle.search(q, k)
+    return sorted(oracle.doc_to_conv[int(d)] for d in docs)
+
+
+def test_and_default(tiny):
+    assert _convs(tiny, "apple banana") == ["A"]
+    assert _convs(tiny, "apple cherry") == ["B"]
+    assert _convs(tiny, "apple date") == []
+
+
+def test_or_operator(tiny):
+    assert _convs(tiny, "banana OR cherry") == ["A", "B", "C", "D"]
+    # AND of a plain term with an OR group
+    assert _convs(tiny, "apple banana OR cherry") == ["A", "B"]
+    assert _convs(tiny, "date banana OR cherry") == ["C"]
+
+
+def test_negative(tiny):
+    assert _convs(tiny, "apple -cherry") == ["A", "E"]
+    assert _convs(tiny, "apple -banana -cherry") == ["E"]
+
+
+def test_field_scope(tiny):
+    assert _convs(tiny, "tool:x banana") == ["D"]
+    assert _convs(tiny, "role:user banana") == ["A"]
+
+
+def test_phrase(tiny):
+    assert _convs(tiny, '"apple banana"') == ["A"]
+    assert _convs(tiny, '"banana apple"') == []
+
+
+def test_tf_affects_rank(tiny):
+    docs, scores = tiny.search("apple", 10)
+    convs = [tiny.doc_to_conv[int(d)] for d in docs]
+    # E has tf=2 and shortest dl among apple docs → ranks first
+    assert convs[0] == "E"
+    assert len(set(convs) & {"A", "B", "E"}) == 3
+
+
+def test_stopword_optional(tiny):
+    # "the" is OOV here and a stopword → optional; apple still required
+    assert _convs(tiny, "the apple banana") == ["A"]
