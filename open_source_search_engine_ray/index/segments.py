@@ -239,13 +239,18 @@ class SegmentReader:
         self._rg_min = np.asarray(mins, dtype=np.uint64)
         self._rg_max = np.asarray(maxs, dtype=np.uint64)
 
-    def read_terms(self, term_ids: list[int]) -> pa.Table:
+    def read_terms(self, term_ids: list[int],
+                   with_positions: bool = True) -> pa.Table:
         want = np.asarray(sorted(set(term_ids)), dtype=np.uint64)
         rgs = [rg for rg in range(len(self._rg_min))
                if ((want >= self._rg_min[rg]) & (want <= self._rg_max[rg])).any()]
         if not rgs:
             return SEGMENT_SCHEMA.empty_table()
-        tbl = self._pf.read_row_groups(rgs)
+        cols = [f.name for f in SEGMENT_SCHEMA]
+        if not with_positions:
+            cols.remove("pos_blob")  # often the largest column; scoring
+            # without a phrase filter never touches it
+        tbl = self._pf.read_row_groups(rgs, columns=cols)
         mask = pc.is_in(tbl["term_id"], value_set=pa.array(want, pa.uint64()))
         return tbl.filter(mask)
 

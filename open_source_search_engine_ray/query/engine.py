@@ -71,7 +71,7 @@ class _GenIndex:
             rd = self._reader(shard)
             if rd is None:
                 continue
-            tbl = rd.read_terms([term_id])
+            tbl = rd.read_terms([term_id], with_positions=with_positions)
             decoded.extend(decode_posting_row(r, with_positions)
                            for r in tbl.to_pylist())
         return decoded

@@ -120,14 +120,92 @@ def _blockmax_single_term(t, tp: TermPostings, n_docs: int, avgdl: float,
     return topk_merge(docs, scores, k)
 
 
+def _term_upper_bound(t, tp: TermPostings, n_docs: int, avgdl: float,
+                      config: IndexConfig, wq: np.ndarray) -> float:
+    """Admissible upper bound of one term's contribution to any doc."""
+    iv = float(bm25_idf(tp.df, n_docs))
+    if tp.block_max is not None and t.field is None:
+        m = float(tp.block_max.max())
+    else:
+        m = float(term_scores(_tf_weighted(tp, t.field, wq), tp.dl, avgdl,
+                              config.k1, config.b, 1.0).max())
+    return m * iv * float(t.weight) * (1.0 + 1e-12)
+
+
+def _maxscore_candidates(scorable, lists, n_docs: float, avgdl: float,
+                         config: IndexConfig, k: int,
+                         wq: np.ndarray) -> np.ndarray:
+    """MaxScore candidate generation for disjunctive (all-optional)
+    queries: process terms in descending upper bound; once the summed
+    bounds of the remaining terms fall strictly below the current k-th
+    partial score, remaining terms stop introducing new candidates (the
+    surviving set provably contains the exact top-k, which is then
+    re-scored in canonical order).  The WAND/MaxScore analogue of the
+    reference's ``getMaxPossibleScore`` pruning."""
+    terms = [(t, lists[t.term_id]) for t in scorable
+             if lists.get(t.term_id) is not None]
+    if not terms:
+        return np.zeros(0, dtype=np.uint64)
+    ubs = np.asarray([_term_upper_bound(t, tp, n_docs, avgdl, config, wq)
+                      for t, tp in terms])
+    order = np.argsort(-ubs, kind="stable")
+    terms = [terms[i] for i in order]
+    ubs = ubs[order]
+    rem_after = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
+
+    cand = np.zeros(0, dtype=np.uint64)
+    partial = np.zeros(0, dtype=np.float64)
+    theta = -np.inf
+    for j, (t, tp) in enumerate(terms):
+        iv = bm25_idf(tp.df, n_docs)
+        grow = not (len(partial) >= k and ubs[j] + rem_after[j] < theta)
+        if grow:
+            merged = np.union1d(cand, docs_of_term(t, tp))
+            new_partial = np.zeros(len(merged), dtype=np.float64)
+            pos = np.searchsorted(merged, cand)
+            new_partial[pos] = partial
+            cand, partial = merged, new_partial
+        if len(cand) == 0:
+            continue
+        idx = np.searchsorted(tp.doc_ids, cand)
+        idx_c = np.minimum(idx, len(tp.doc_ids) - 1)
+        present = tp.doc_ids[idx_c] == cand
+        if t.field is not None:
+            present &= tp.tfs[idx_c, t.field] > 0
+        if present.any():
+            sel = idx_c[present]
+            tfw = _tf_weighted(tp, t.field, wq)[sel]
+            partial[present] += np.float64(t.weight) * term_scores(
+                tfw, tp.dl[sel], avgdl, config.k1, config.b, float(iv))
+        if len(partial) >= k:
+            # deflate one part in 1e12: partial sums here accumulate in ub
+            # order, not canonical order — the margin absorbs the ulp drift
+            # so no doc whose canonical score ties the threshold is dropped
+            theta = np.partition(partial, len(partial) - k)[len(partial) - k] \
+                * np.float64(1.0 - 1e-12)
+        # drop candidates that can no longer reach theta
+        if len(partial) > 4 * k and np.isfinite(theta):
+            keep = partial + rem_after[j] >= theta
+            cand, partial = cand[keep], partial[keep]
+    return cand
+
+
+def docs_of_term(t, tp: TermPostings) -> np.ndarray:
+    if t.field is not None:
+        return tp.doc_ids[tp.tfs[:, t.field] > 0]
+    return tp.doc_ids
+
+
 def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
              n_docs: int, avgdl: float, config: IndexConfig, k: int,
              prune: bool = True):
     """→ (doc_ids desc-by-score, scores float64).  ``lists`` maps term_id →
     TermPostings (or None when the term is absent from the index).
 
-    ``prune=True`` enables the block-max fast path where applicable; it is
-    result-identical to the exact path (tests/test_pruning.py)."""
+    ``prune=True`` enables the block-max fast paths where applicable; both
+    are result-identical to the exact path (tests/test_pruning.py) — the
+    multi-term path re-scores surviving candidates in canonical expansion
+    order so even the float accumulation matches."""
     if prune and not query.phrases and not query.or_groups:
         positives_all = [t for t in query.terms
                          if not t.negative and not t.is_bigram]
@@ -137,6 +215,23 @@ def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
             if (tp is not None and tp.block_max is not None
                     and t.field is None and tp.df > 4 * k):
                 return _blockmax_single_term(t, tp, n_docs, avgdl, config, k)
+        if (len(positives_all) > 1
+                and not any(t.required for t in positives_all)
+                and not any(t.negative for t in query.terms)):
+            dfs = [lists[t.term_id].df for t in positives_all
+                   if lists.get(t.term_id) is not None]
+            # engage only when the df spread gives the bounds something to
+            # prune; uniform stopword lists score everything either way and
+            # the candidate bookkeeping would just add overhead
+            if dfs and max(dfs) > 8 * min(dfs):
+                wq = np.asarray([int(round(w * 4))
+                                 for w in config.field_weights],
+                                dtype=np.int64)
+                scorable = [t for t in query.terms if not t.negative]
+                cand = _maxscore_candidates(scorable, lists, n_docs, avgdl,
+                                            config, k, wq)
+                return _score_candidates(query, lists, cand, n_docs, avgdl,
+                                         config, k, wq)
     wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
                     dtype=np.int64)
 
@@ -183,6 +278,17 @@ def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
         pd = _phrase_docs(chain, lists)
         cand = cand[np.isin(cand, pd, assume_unique=True)]
 
+    return _score_candidates(query, lists, cand, n_docs, avgdl, config, k,
+                             wq)
+
+
+def _score_candidates(query: ParsedQuery,
+                      lists: dict[int, TermPostings | None],
+                      cand: np.ndarray, n_docs: int, avgdl: float,
+                      config: IndexConfig, k: int, wq: np.ndarray):
+    """Canonical scoring: contributions accumulate term-at-a-time in
+    expansion order — the ONE float path both the exact and pruned routes
+    share, so results are bit-identical."""
     if len(cand) == 0:
         return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.float64)
 

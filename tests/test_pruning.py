@@ -29,7 +29,9 @@ def searcher(ray_session):
 def test_pruned_equals_exact(searcher):
     se = searcher
     queries = [q for _, q, _ in query_set()] + [
-        "w0003", "w0015", "the", "of", "w0000", "roleonlyterm_user"]
+        "w0003", "w0015", "the", "of", "w0000", "roleonlyterm_user",
+        # multi-term all-optional → MaxScore candidate path
+        "the of and", "to be or not", "the w0000 of", "is it not and the"]
     n_pruned_applicable = 0
     for q in queries:
         for k in (3, 10, 50):
