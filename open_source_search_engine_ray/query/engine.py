@@ -176,9 +176,11 @@ class IndexSearcher:
                     t.term_id, with_positions=t.term_id in phrase_terms)
         return lists
 
-    def search(self, query: str, k: int = 10):
+    def search(self, query: str, k: int = 10,
+               synonyms: dict[str, list[str]] | None = None):
         """→ (doc_ids, scores) exact BM25F top-k."""
-        pq_ = parse_query(query, self.config.bigram_weight)
+        pq_ = parse_query(query, self.config.bigram_weight,
+                          synonyms=synonyms)
         lists = self._lists_for(pq_)
         return evaluate(pq_, lists, self.n_docs, self.avgdl, self.config, k)
 

@@ -89,8 +89,9 @@ class OracleIndex:
     def get_postings(self, term_id: int, with_positions: bool = False):
         return self._lists.get(term_id)
 
-    def search(self, query: str, k: int = 10):
-        pq = parse_query(query, self.config.bigram_weight)
+    def search(self, query: str, k: int = 10,
+               synonyms: dict[str, list[str]] | None = None):
+        pq = parse_query(query, self.config.bigram_weight, synonyms=synonyms)
         lists = {t.term_id: self._lists.get(t.term_id) for t in pq.terms}
         return evaluate(pq, lists, self.n_docs, self.avgdl, self.config, k)
 

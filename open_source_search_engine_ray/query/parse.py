@@ -64,7 +64,13 @@ def _is_query_stop(token: str) -> bool:
     return t in STOPWORDS or (len(t) == 1 and t.isalpha())
 
 
-def parse_query(q: str, bigram_weight: float = 0.5) -> ParsedQuery:
+def parse_query(q: str, bigram_weight: float = 0.5,
+                synonyms: dict[str, list[str]] | None = None,
+                synonym_weight: float = 0.9) -> ParsedQuery:
+    """``synonyms`` (optional): token → alternatives, expanded as optional
+    weighted terms for unquoted, unsigned, unfielded words of length > 1 —
+    Appendix A class 3 (``Synonyms.cpp:53-140``, ``synonymWeight=0.9``
+    default ``Parms.cpp:3879-3886``).  Off by default."""
     out = ParsedQuery(raw=q)
     # chunking: quotes, signs, field-scope directives
     i, n = 0, len(q)
@@ -162,6 +168,34 @@ def parse_query(q: str, bigram_weight: float = 0.5) -> ParsedQuery:
             if qt.term_id in member and not qt.negative and not qt.is_bigram:
                 qt.required = False
         out.or_groups = or_groups
+
+    # synonym/variation expansion (Appendix A §3): a synonym is a sublist
+    # of its base term — a doc matches the (required) term when it appears
+    # in ANY sublist (PosdbTable.cpp:1374-1700 QueryTermInfo semantics) —
+    # expressed here as an OR unit of {base, synonyms}
+    if synonyms:
+        by_tid = {t.term_id: t for t in out.terms}
+        for tok, neg, req, qid, fscope, _h in stream:
+            if neg or req or qid >= 0 or fscope is not None or len(tok) <= 1:
+                continue
+            alts = synonyms.get(tok.lower(), ())
+            if not alts:
+                continue
+            base_tid = int(np.uint64(hash64_lower_utf8(tok)) & TERMID_MASK)
+            unit = [base_tid]
+            for alt in alts:
+                tid = int(np.uint64(hash64_lower_utf8(alt)) & TERMID_MASK)
+                if tid not in seen_ids:
+                    seen_ids.add(tid)
+                    qt = QTerm(alt, tid, False, False, False, None,
+                               synonym_weight)
+                    out.terms.append(qt)
+                    by_tid[tid] = qt
+                unit.append(tid)
+            base = by_tid.get(base_tid)
+            if base is not None and base.required:
+                base.required = False
+                out.or_groups.append(sorted(set(unit)))
 
     # bigram boost terms between adjacent positive tokens (same quote or
     # both unquoted), using the indexing-side phrase rules

@@ -82,3 +82,19 @@ def test_tf_affects_rank(tiny):
 def test_stopword_optional(tiny):
     # "the" is OOV here and a stopword → optional; apple still required
     assert _convs(tiny, "the apple banana") == ["A"]
+
+
+def test_synonym_expansion(tiny):
+    # without synonyms, "fruit" matches nothing
+    assert _convs(tiny, "fruit") == []
+    # with a synonym table, fruit → banana (optional, 0.9-weighted)
+    syn = {"fruit": ["banana"]}
+    docs, scores = tiny.search("fruit", 10, synonyms=syn)
+    convs = sorted(tiny.doc_to_conv[int(d)] for d in docs)
+    assert convs == ["A", "D"]
+    # the synonym contribution is scaled by 0.9 vs the direct query
+    d2, s2 = tiny.search("banana", 10)
+    direct = {tiny.doc_to_conv[int(d)]: s for d, s in zip(d2, s2)}
+    via_syn = {tiny.doc_to_conv[int(d)]: s for d, s in zip(docs, scores)}
+    for c in ("A", "D"):
+        assert abs(via_syn[c] - 0.9 * direct[c]) < 1e-12
