@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "cosine_topk": similarity.cosine_topk,
         "lsh_cosine_topk": similarity.lsh_cosine_topk,
+        "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
         # text analysis
         "token_stats": text_analysis.token_stats,
         "quality_score": text_analysis.quality_score,
@@ -79,6 +80,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.exact_dedup_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
+        "embedding_neardup_pairs": similarity.embedding_neardup_pairs_sql(),
         "token_stats": text_analysis.token_stats_sql(),
         "quality_score": text_analysis.quality_score_sql(),
         "lang_id": text_analysis.lang_id_sql(),

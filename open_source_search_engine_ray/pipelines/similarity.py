@@ -96,6 +96,59 @@ ORDER BY query_vec_id, rank
 """
 
 
+NEARDUP_TAU = 0.42
+
+
+def embedding_neardup_pairs(sf_dir: str):
+    """→ (vec_a, vec_b, sim): embedding-cosine near-duplicate pairs with
+    cosine ≥ NEARDUP_TAU (0.42 — chosen above the synthetic corpus's 99.9th percentile pair similarity so the result is non-trivial) — the embedding variant of the dedup family.  Brute-force
+    blocked matmul per batch against the (broadcast) corpus matrix: the
+    corpus side fits in memory at this scale; the LSH-bucketed variant
+    above is the >memory scale path."""
+    import pyarrow.parquet as pq
+    import ray
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    mat = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    ref = ray.put((ids, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        vid = batch["vec_id"].to_numpy()
+        vecs = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = vecs @ all_mat.T
+        rows, cols = np.nonzero(sims >= NEARDUP_TAU)
+        a = vid[rows]
+        b = all_ids[cols]
+        keep = a < b
+        return pa.table({
+            "vec_a": pa.array(a[keep].astype(np.int64)),
+            "vec_b": pa.array(b[keep].astype(np.int64)),
+            "sim": pa.array(np.round(sims[rows, cols][keep], 6),
+                            pa.float64()),
+        })
+
+    return _read_emb(sf_dir).map_batches(pairs, batch_format="pyarrow")
+
+
+def embedding_neardup_pairs_sql() -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= {NEARDUP_TAU}
+ORDER BY vec_a, vec_b
+"""
+
+
 class LshCosine:
     """Actor-pool stage: random-hyperplane signature per vector (state —
     the plane matrix — built once per actor, deterministic seed)."""
