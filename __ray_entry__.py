@@ -22,6 +22,7 @@ from typing import Any
 from open_source_search_engine_ray.pipelines import (
     dedup,
     doc_search,
+    engine_docs,
     multimodal,
     relational,
     similarity,
@@ -48,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             transcripts_flagship.transcripts_search_snippets,
         # document search with SQL-replicable semantics
         "bm25_topk_docs": doc_search.bm25_topk_docs,
+        "engine_bm25_docs": engine_docs.engine_bm25_docs,
         "doc_term_df": doc_search.doc_term_df,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
@@ -76,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk_docs": doc_search.bm25_topk_docs_sql(),
+        "engine_bm25_docs": engine_docs.engine_bm25_docs_sql(),
         "doc_term_df": doc_search.doc_term_df_sql(),
         "exact_dedup": dedup.exact_dedup_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),

@@ -177,12 +177,29 @@ class IndexSearcher:
         return lists
 
     def search(self, query: str, k: int = 10,
-               synonyms: dict[str, list[str]] | None = None):
-        """→ (doc_ids, scores) exact BM25F top-k."""
+               synonyms: dict[str, list[str]] | None = None,
+               field_weights: tuple | None = None):
+        """→ (doc_ids, scores) exact BM25F top-k.
+
+        ``field_weights`` overrides the per-role/tool weights for this
+        query (the reference's per-search ``&hgw_*`` parms,
+        ``Parms.cpp:3730-3875``).  The tf side re-weights exactly; the
+        per-posting doc length stays frozen at build weights (documented
+        contract — the oracle applies the same rule).  Pruning bounds are
+        only valid for build weights, so overrides evaluate exactly."""
+        from dataclasses import replace
+
         pq_ = parse_query(query, self.config.bigram_weight,
                           synonyms=synonyms)
         lists = self._lists_for(pq_)
-        return evaluate(pq_, lists, self.n_docs, self.avgdl, self.config, k)
+        cfg = self.config
+        prune = True
+        if field_weights is not None and \
+                tuple(field_weights) != tuple(cfg.field_weights):
+            cfg = replace(cfg, field_weights=tuple(field_weights))
+            prune = False
+        return evaluate(pq_, lists, self.n_docs, self.avgdl, cfg, k,
+                        prune=prune)
 
     def search_table(self, query: str, k: int = 10) -> pa.Table:
         docs, scores = self.search(query, k)

@@ -90,10 +90,17 @@ class OracleIndex:
         return self._lists.get(term_id)
 
     def search(self, query: str, k: int = 10,
-               synonyms: dict[str, list[str]] | None = None):
+               synonyms: dict[str, list[str]] | None = None,
+               field_weights: tuple | None = None):
+        from dataclasses import replace
+
         pq = parse_query(query, self.config.bigram_weight, synonyms=synonyms)
         lists = {t.term_id: self._lists.get(t.term_id) for t in pq.terms}
-        return evaluate(pq, lists, self.n_docs, self.avgdl, self.config, k)
+        cfg = self.config
+        if field_weights is not None:
+            cfg = replace(cfg, field_weights=tuple(field_weights))
+        return evaluate(pq, lists, self.n_docs, self.avgdl, cfg, k,
+                        prune=False)
 
     def golden_topk(self, queries: list[tuple[str, str, int]]) -> pa.Table:
         """FIXTURES.md §3 golden_topk table."""

@@ -152,3 +152,19 @@ def test_distributed_batch_eval(built_index, ray_session):
         d, s = se.search(q, k)
         sub = df[df.query_id == qid].sort_values("rank")
         assert sub.doc_id.tolist() == [int(x) for x in d]
+
+
+def test_field_weight_override(built_index, oracle):
+    """Per-query field-weight override (&hgw_* parm analogue): engine and
+    oracle agree, and boosting the assistant field reorders results."""
+    se = IndexSearcher(IDX)
+    boost = (0.25, 4.0, 0.25, 0.25)  # assistant-heavy
+    for q in ("w0002", "w0042 w0777", "the"):
+        d1, s1 = se.search(q, 10, field_weights=boost)
+        d2, s2 = oracle.search(q, 10, field_weights=boost)
+        assert list(d1) == list(d2) and list(s1) == list(s2), q
+    # the marker term lives only in assistant turns: boosting that field
+    # must increase its top score vs the default weights
+    d_def, s_def = se.search("roleonlyterm_assistant", 5)
+    d_b, s_b = se.search("roleonlyterm_assistant", 5, field_weights=boost)
+    assert len(s_b) and s_b[0] > s_def[0]
