@@ -33,6 +33,9 @@ SEGMENT_SCHEMA = pa.schema([
     ("doc_blob", pa.large_binary()),
     ("dl_blob", pa.large_binary()),
     ("tf_blobs", pa.list_(pa.large_binary(), NUM_FIELDS)),
+    # positions: per-doc counts and delta-coded values as SEPARATE varbyte
+    # streams so decode is two vectorized passes (no per-doc loop)
+    ("cnt_blob", pa.large_binary()),
     ("pos_blob", pa.large_binary()),
     ("bm_blob", pa.large_binary()),
 ])
@@ -134,24 +137,22 @@ def encode_shard(postings: pa.Table, config: IndexConfig, salt: int,
     # float32 dl stream: per-term slice of the packed array
     dl_bytes = memoryview(g_dl.astype("<f4").tobytes())
 
-    # nested positions: per (term,doc) group [count, delta positions...]
+    # positions: separate count stream (per doc) and delta stream (reset at
+    # each doc's first position, which is stored absolute)
     n_pos = len(flat_pos)
-    nested_lens = 1 + grp_pos_counts
-    nested_offs = np.concatenate([[0], np.cumsum(nested_lens)])
-    flat_nested = np.empty(n_td + n_pos, dtype=np.uint64)
-    flat_nested[nested_offs[:-1]] = grp_pos_counts.astype(np.uint64)
+    cnt_all, cnt_offs = varbyte.encode_segmented(
+        grp_pos_counts.astype(np.uint64), t_starts)
+    cnt_view = memoryview(cnt_all)
     if n_pos:
         pos_deltas = flat_pos.astype(np.uint64)
         pd = pos_deltas.copy()
         pd[1:] -= pos_deltas[:-1]
         gstarts = grp_pos_offsets[:-1][grp_pos_counts > 0]
         pd[gstarts] = pos_deltas[gstarts]
-        local = (np.arange(n_pos, dtype=np.int64) -
-                 np.repeat(grp_pos_offsets[:-1], grp_pos_counts))
-        slots = (np.repeat(nested_offs[:-1], grp_pos_counts) + 1 + local)
-        flat_nested[slots] = pd
+    else:
+        pd = np.zeros(0, dtype=np.uint64)
     pos_all, pos_offs = varbyte.encode_segmented(
-        flat_nested, nested_offs[t_starts])
+        pd, grp_pos_offsets[t_starts])
     pos_view = memoryview(pos_all)
 
     # per-block max impacts (block-max WAND metadata)
@@ -183,6 +184,8 @@ def encode_shard(postings: pa.Table, config: IndexConfig, salt: int,
                     for i in range(n_terms)],
         "tf_blobs": [[bytes(tf_all[f][tf_offs[f][i]:tf_offs[f][i + 1]])
                       for f in range(NUM_FIELDS)] for i in range(n_terms)],
+        "cnt_blob": [bytes(cnt_view[cnt_offs[i]:cnt_offs[i + 1]])
+                     for i in range(n_terms)],
         "pos_blob": [bytes(pos_view[pos_offs[i]:pos_offs[i + 1]])
                      for i in range(n_terms)],
         "bm_blob": [bytes(bm_bytes[bm_offs[i] * 4:bm_offs[i + 1] * 4])
@@ -249,14 +252,17 @@ class SegmentReader:
         cols = [f.name for f in SEGMENT_SCHEMA]
         if not with_positions:
             cols.remove("pos_blob")  # often the largest column; scoring
-            # without a phrase filter never touches it
+            cols.remove("cnt_blob")  # without a phrase filter neither is
+            # ever touched
         tbl = self._pf.read_row_groups(rgs, columns=cols)
         mask = pc.is_in(tbl["term_id"], value_set=pa.array(want, pa.uint64()))
         return tbl.filter(mask)
 
 
 def decode_posting_row(row: dict, with_positions: bool = False) -> dict:
-    """Decode one segment row into numpy arrays."""
+    """Decode one segment row into numpy arrays.  Positions come back as
+    (flat values uint64, offsets int64 of len df+1) — two vectorized
+    decode passes, no per-doc loop."""
     docs = varbyte.decode_deltas(row["doc_blob"])
     dl = np.frombuffer(row["dl_blob"], dtype="<f4")
     tfs = np.stack([varbyte.decode(blob).astype(np.int64)
@@ -267,5 +273,17 @@ def decode_posting_row(row: dict, with_positions: bool = False) -> dict:
         "block_max": np.frombuffer(row["bm_blob"], dtype="<f4"),
     }
     if with_positions:
-        out["positions"] = varbyte.decode_nested(row["pos_blob"], len(docs))
+        counts = varbyte.decode(row["cnt_blob"]).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        deltas = varbyte.decode(row["pos_blob"])
+        flat = np.cumsum(deltas, dtype=np.uint64)
+        # subtract each doc's pre-segment cumulative so the per-doc first
+        # (stored absolute) survives and deltas chain within the doc only
+        starts = offsets[:-1][counts > 0]
+        corr = np.zeros(len(flat), dtype=np.uint64)
+        if len(flat):
+            seg_corr = flat[starts] - deltas[starts]
+            corr = np.repeat(seg_corr, counts[counts > 0])
+            flat = flat - corr
+        out["positions"] = (flat, offsets)
     return out

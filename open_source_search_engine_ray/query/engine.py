@@ -115,6 +115,8 @@ class IndexSearcher:
             return self._cache[key]
         if (term_id, True) in self._cache:
             return self._cache[(term_id, True)]
+        from ..functions.ragged import ragged_concat, ragged_select
+
         docs_parts, tfs_parts, dl_parts, pos_parts = [], [], [], []
         single_bm = None
         n_parts = 0
@@ -129,8 +131,12 @@ class IndexSearcher:
                 tfs_parts.append(d["tfs"][alive])
                 dl_parts.append(d["dl"][alive])
                 if with_positions:
-                    pos_parts.extend(
-                        p for p, a in zip(d["positions"], alive) if a)
+                    flat, offs = d["positions"]
+                    if alive.all():
+                        pos_parts.append((flat, offs))
+                    else:
+                        pos_parts.append(ragged_select(
+                            flat, offs, np.flatnonzero(alive)))
         if not docs_parts:
             self._cache[key] = None
             return None
@@ -163,7 +169,8 @@ class IndexSearcher:
                 tfw, tp.dl, self.avgdl, self.config.k1, self.config.b,
                 self.config.block_size)
         if with_positions:
-            tp.positions = [pos_parts[i] for i in order]
+            flat_all, offs_all = ragged_concat(pos_parts)
+            tp.positions = ragged_select(flat_all, offs_all, order)
         self._cache[key] = tp
         return tp
 

@@ -37,7 +37,8 @@ class TermPostings:
     tfs: np.ndarray                # (n, NUM_FIELDS) int64
     dl: np.ndarray                 # float32
     df: int                        # global df (sum over salt splits)
-    positions: list | None = None  # list of int arrays, parallel to doc_ids
+    # per-doc position lists as (flat uint64, offsets int64 len n+1)
+    positions: tuple | None = None
     block_max: np.ndarray | None = None  # float32 per block (engine only)
 
 
@@ -49,30 +50,38 @@ def _tf_weighted(tp: TermPostings, field: int | None,
 
 
 def _phrase_docs(chain: list[int], lists: dict[int, TermPostings | None]) -> np.ndarray:
-    """Docs where the phrase terms appear at consecutive positions."""
+    """Docs where the phrase terms appear at consecutive positions —
+    fully vectorized: positions of candidate docs are packed into
+    (doc_index << 32 | position) keys and the chain is verified with
+    sorted-set membership, no per-doc loop."""
+    from ..functions.ragged import ragged_arange
+
     tps = [lists.get(t) for t in chain]
     if any(tp is None or tp.positions is None for tp in tps):
         return np.zeros(0, dtype=np.uint64)
     cand = tps[0].doc_ids
     for tp in tps[1:]:
         cand = cand[np.isin(cand, tp.doc_ids, assume_unique=True)]
-    keep = []
-    for d in cand:
-        sets = []
-        ok = True
-        for tp in tps:
-            i = int(np.searchsorted(tp.doc_ids, d))
-            sets.append(tp.positions[i])
-        base = np.asarray(sets[0], dtype=np.int64)
-        for off, ps in enumerate(sets[1:], start=1):
-            ps = np.asarray(ps, dtype=np.int64)
-            base = base[np.isin(base + off, ps)]
-            if len(base) == 0:
-                ok = False
-                break
-        if ok and len(base):
-            keep.append(d)
-    return np.asarray(keep, dtype=np.uint64)
+    if len(cand) == 0:
+        return cand
+
+    def keys_for(tp: TermPostings) -> np.ndarray:
+        flat, offs = tp.positions
+        offs = np.asarray(offs, dtype=np.int64)
+        sel = np.searchsorted(tp.doc_ids, cand)
+        lens = offs[sel + 1] - offs[sel]
+        idx = np.repeat(offs[sel], lens) + ragged_arange(lens)
+        pos = flat[idx].astype(np.uint64)
+        drep = np.repeat(np.arange(len(cand), dtype=np.uint64), lens)
+        return (drep << np.uint64(32)) | pos
+
+    base = keys_for(tps[0])
+    for off, tp in enumerate(tps[1:], start=1):
+        base = base[np.isin(base + np.uint64(off), keys_for(tp))]
+        if len(base) == 0:
+            return np.zeros(0, dtype=np.uint64)
+    doc_idx = np.unique((base >> np.uint64(32)).astype(np.int64))
+    return cand[doc_idx]
 
 
 def _blockmax_single_term(t, tp: TermPostings, n_docs: int, avgdl: float,

@@ -79,10 +79,14 @@ class OracleIndex:
             tfs = np.asarray([docs[int(d)][0] for d in dids], dtype=np.int64)
             dl = np.asarray([self.dl32[int(d)] for d in dids],
                             dtype=np.float32)
-            positions = [np.asarray(sorted(docs[int(d)][1]), dtype=np.uint64)
-                         for d in dids]
+            plists = [sorted(docs[int(d)][1]) for d in dids]
+            offsets = np.concatenate(
+                [[0], np.cumsum([len(p) for p in plists])]).astype(np.int64)
+            flat = (np.concatenate([np.asarray(p, dtype=np.uint64)
+                                    for p in plists])
+                    if plists else np.zeros(0, dtype=np.uint64))
             self._lists[t] = TermPostings(dids, tfs, dl, len(dids),
-                                          positions=positions)
+                                          positions=(flat, offsets))
 
         self.doc_to_conv = {v: k for k, v in doc_of.items()}
 

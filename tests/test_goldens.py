@@ -70,6 +70,7 @@ def test_golden_postings_roundtrip():
 
     rng = np.random.default_rng(7)
     n = 5000
+    ref_rows: dict[int, dict[int, int]] = {}
     term = np.sort(rng.integers(0, 50, n).astype(np.uint64))
     doc = rng.integers(0, 1 << 62, n).astype(np.uint64)
     field = rng.integers(0, 4, n).astype(np.uint8)
@@ -90,6 +91,8 @@ def test_golden_postings_roundtrip():
     for i in range(n):
         ref.setdefault(int(term[i]), {}).setdefault(int(doc[i]), 0)
         ref[int(term[i])][int(doc[i])] += int(tf[i])
+        ref_rows.setdefault(int(term[i]), {}).setdefault(int(doc[i]), 0)
+        ref_rows[int(term[i])][int(doc[i])] += 1  # one position per row
     assert seg.num_rows == len(ref)
     for row in seg.to_pylist():
         d = decode_posting_row(row, with_positions=True)
@@ -97,4 +100,17 @@ def test_golden_postings_roundtrip():
         assert sorted(ref[t]) == [int(x) for x in d["doc_ids"]]
         assert [ref[t][int(x)] for x in d["doc_ids"]] == \
             d["tfs"].sum(axis=1).tolist()
-        assert len(d["positions"]) == len(d["doc_ids"])
+        flat, offsets = d["positions"]
+        assert len(offsets) == len(d["doc_ids"]) + 1
+        assert len(flat) == offsets[-1]
+        # per-doc position count == number of merged source rows (each
+        # synthetic row carried exactly one position)
+        assert np.diff(offsets).tolist() == \
+            [ref_rows[t][int(x)] for x in d["doc_ids"]]
+        # positions ascending within each doc
+        deltas_ok = np.ones(len(flat), dtype=bool)
+        inner = np.ones(len(flat), dtype=bool)
+        inner[offsets[:-1][np.diff(offsets) > 0]] = False
+        if len(flat) > 1:
+            deltas_ok[1:] = (flat[1:] >= flat[:-1]) | ~inner[1:]
+        assert deltas_ok.all()
