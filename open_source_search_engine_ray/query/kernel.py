@@ -42,6 +42,16 @@ class TermPostings:
     block_max: np.ndarray | None = None  # float32 per block (engine only)
 
 
+def in_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Membership mask of ``values`` in a sorted unique array — avoids the
+    internal re-sort ``np.isin`` pays on every call."""
+    if len(sorted_set) == 0 or len(values) == 0:
+        return np.zeros(len(values), dtype=bool)
+    idx = np.searchsorted(sorted_set, values)
+    idx = np.minimum(idx, len(sorted_set) - 1)
+    return sorted_set[idx] == values
+
+
 def _tf_weighted(tp: TermPostings, field: int | None,
                  wq: np.ndarray) -> np.ndarray:
     if field is None:
@@ -61,7 +71,7 @@ def _phrase_docs(chain: list[int], lists: dict[int, TermPostings | None]) -> np.
         return np.zeros(0, dtype=np.uint64)
     cand = tps[0].doc_ids
     for tp in tps[1:]:
-        cand = cand[np.isin(cand, tp.doc_ids, assume_unique=True)]
+        cand = cand[in_sorted(cand, tp.doc_ids)]
     if len(cand) == 0:
         return cand
 
@@ -77,7 +87,7 @@ def _phrase_docs(chain: list[int], lists: dict[int, TermPostings | None]) -> np.
 
     base = keys_for(tps[0])
     for off, tp in enumerate(tps[1:], start=1):
-        base = base[np.isin(base + np.uint64(off), keys_for(tp))]
+        base = base[in_sorted(base + np.uint64(off), np.sort(keys_for(tp)))]
         if len(base) == 0:
             return np.zeros(0, dtype=np.uint64)
     doc_idx = np.unique((base >> np.uint64(32)).astype(np.int64))
@@ -272,7 +282,7 @@ def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
         for d in units[1:]:
             if len(cand) == 0:
                 break
-            cand = cand[np.isin(cand, d, assume_unique=True)]
+            cand = cand[in_sorted(cand, d)]
     else:
         arrs = [docs_of(t) for t in positives]
         cand = (np.unique(np.concatenate(arrs)) if arrs
@@ -281,11 +291,11 @@ def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
     for t in negatives:
         nd = docs_of(t)
         if len(nd) and len(cand):
-            cand = cand[~np.isin(cand, nd, assume_unique=True)]
+            cand = cand[~in_sorted(cand, nd)]
 
     for chain in query.phrases:
         pd = _phrase_docs(chain, lists)
-        cand = cand[np.isin(cand, pd, assume_unique=True)]
+        cand = cand[in_sorted(cand, pd)]
 
     return _score_candidates(query, lists, cand, n_docs, avgdl, config, k,
                              wq)
