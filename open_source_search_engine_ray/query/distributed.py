@@ -1,0 +1,179 @@
+"""Distributed query serving: a shard-server actor pool.
+
+The reference serves queries by fanning out to every doc-shard host
+(``Msg39`` multicast) whose threads range-read termlists (``Msg2`` →
+``Msg5``).  A term-partitioned index inverts that: the coordinator asks
+only the servers owning the query's term shards for their posting lists
+(already compact blobs) and evaluates centrally — so a query touches
+``O(#terms)`` servers, not all of them.
+
+``ShardServer`` actors each own a static subset of shards across all
+generations (segment readers + a decoded-parts cache = the per-host page
+cache).  ``DistributedSearcher`` resolves term → owning shards → servers,
+fetches all terms' parts CONCURRENTLY (the ``Msg2::getLists`` parallel
+fetch), merges generations/tombstones exactly like the local searcher, and
+runs the same kernel — results are bit-identical to ``IndexSearcher``
+(tested)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import IndexConfig
+from .engine import _GenIndex
+from .kernel import TermPostings, evaluate
+from .parse import parse_query
+
+
+class ShardServer:
+    """Owns ``shard_ids`` of every generation; serves decoded parts."""
+
+    def __init__(self, index_dir: str, shard_ids: list[int]):
+        from ..index.merge import gen_dir, read_generations
+
+        gens_doc = read_generations(index_dir)
+        self.owned = frozenset(shard_ids)
+        self._gens = [
+            _GenIndex(g["gen"], gen_dir(index_dir, g["gen"]))
+            for g in sorted(gens_doc["generations"], key=lambda g: g["gen"])]
+        self._cache: dict = {}
+
+    def get_parts(self, term_id: int, with_positions: bool = False):
+        """→ list of (gen, decoded-part dict) for owned shards."""
+        key = (term_id, with_positions)
+        if key in self._cache:
+            return self._cache[key]
+        out = []
+        for g in self._gens:
+            for shard in g.shards_for_term(term_id):
+                if shard not in self.owned:
+                    continue
+                rd = g._reader(shard)
+                if rd is None:
+                    continue
+                from ..index.segments import decode_posting_row
+
+                tbl = rd.read_terms([term_id], with_positions=with_positions)
+                out.extend((g.gen, decode_posting_row(r, with_positions))
+                           for r in tbl.to_pylist())
+        self._cache[key] = out
+        return out
+
+
+class DistributedSearcher:
+    """Coordinator: same contract as IndexSearcher.search, backed by the
+    actor pool."""
+
+    def __init__(self, index_dir: str, n_servers: int = 4):
+        import ray
+
+        from ..index.build import load_meta
+        from ..index.merge import (gen_dir, read_generations,
+                                   read_tombstones)
+
+        self.index_dir = index_dir
+        self.meta = load_meta(index_dir)
+        cfg = dict(self.meta["config"])
+        cfg["field_weights"] = tuple(cfg["field_weights"])
+        self.config = IndexConfig(**cfg)
+        gens_doc = read_generations(index_dir)
+        live = gens_doc.get("live_stats")
+        self.n_docs = int(live["n_docs"]) if live else int(self.meta["n_docs"])
+        self.avgdl = float(live["avgdl"]) if live else float(self.meta["avgdl"])
+        self.tomb_doc, self.tomb_dead = read_tombstones(index_dir)
+        # shard universe = max over generations (hot sets can differ)
+        self._gens_meta = [
+            _GenIndex(g["gen"], gen_dir(index_dir, g["gen"]))
+            for g in sorted(gens_doc["generations"], key=lambda g: g["gen"])]
+        max_shard = max(
+            g.p + len(g.hot_terms) * g.s for g in self._gens_meta)
+        self.n_servers = n_servers
+        server_cls = ray.remote(num_cpus=0.5)(ShardServer)
+        owned = [[s for s in range(max_shard) if s % n_servers == i]
+                 for i in range(n_servers)]
+        self._servers = [server_cls.remote(index_dir, o) for o in owned]
+        self._cache: dict[tuple[int, bool], TermPostings | None] = {}
+
+    def _servers_for_term(self, term_id: int) -> list[int]:
+        servers = set()
+        for g in self._gens_meta:
+            for shard in g.shards_for_term(term_id):
+                servers.add(shard % self.n_servers)
+        return sorted(servers)
+
+    def _dead_mask(self, doc_ids: np.ndarray, gen: int) -> np.ndarray:
+        if len(self.tomb_doc) == 0 or len(doc_ids) == 0:
+            return np.zeros(len(doc_ids), dtype=bool)
+        idx = np.clip(np.searchsorted(self.tomb_doc, doc_ids), 0,
+                      len(self.tomb_doc) - 1)
+        return (self.tomb_doc[idx] == doc_ids) & (self.tomb_dead[idx] >= gen)
+
+    def _merge_parts(self, parts, with_positions: bool):
+        from ..functions.ragged import ragged_concat, ragged_select
+
+        docs_parts, tfs_parts, dl_parts, pos_parts = [], [], [], []
+        single_bm = None
+        n_parts = 0
+        for gen, d in parts:
+            alive = ~self._dead_mask(d["doc_ids"], gen)
+            if not alive.any():
+                continue
+            n_parts += 1
+            single_bm = d["block_max"] if alive.all() else None
+            docs_parts.append(d["doc_ids"][alive])
+            tfs_parts.append(d["tfs"][alive])
+            dl_parts.append(d["dl"][alive])
+            if with_positions:
+                flat, offs = d["positions"]
+                pos_parts.append(
+                    (flat, offs) if alive.all() else
+                    ragged_select(flat, offs, np.flatnonzero(alive)))
+        if not docs_parts:
+            return None
+        docs = np.concatenate(docs_parts)
+        tfs = np.concatenate(tfs_parts)
+        dl = np.concatenate(dl_parts)
+        order = np.argsort(docs, kind="stable")
+        stored_ok = (n_parts == 1 and single_bm is not None
+                     and len(self._gens_meta) == 1
+                     and len(self.tomb_doc) == 0
+                     and float(self.meta["avgdl"]) == self.avgdl)
+        tp = TermPostings(doc_ids=docs[order], tfs=tfs[order], dl=dl[order],
+                          df=int(len(docs)), positions=None,
+                          block_max=single_bm if stored_ok else None)
+        if with_positions:
+            flat_all, offs_all = ragged_concat(pos_parts)
+            tp.positions = ragged_select(flat_all, offs_all, order)
+        return tp
+
+    def search(self, query: str, k: int = 10):
+        import ray
+
+        pq_ = parse_query(query, self.config.bigram_weight)
+        phrase_terms = {t for chain in pq_.phrases for t in chain}
+        # fan out ALL term fetches concurrently (Msg2::getLists analogue)
+        futures: dict[int, list] = {}
+        for t in pq_.terms:
+            wp = t.term_id in phrase_terms
+            if t.term_id in futures or (t.term_id, True) in self._cache \
+                    or (not wp and (t.term_id, False) in self._cache):
+                continue
+            futures[t.term_id] = [
+                self._servers[s].get_parts.remote(t.term_id, wp)
+                for s in self._servers_for_term(t.term_id)]
+        lists: dict[int, TermPostings | None] = {}
+        for t in pq_.terms:
+            tid = t.term_id
+            if tid in lists:
+                continue
+            if tid in futures:
+                parts = [p for chunk in ray.get(futures[tid])
+                         for p in chunk]
+                wp = tid in phrase_terms
+                tp = self._merge_parts(parts, wp)
+                self._cache[(tid, wp)] = tp
+                lists[tid] = tp
+            else:
+                lists[tid] = self._cache.get(
+                    (tid, True), self._cache.get((tid, False)))
+        return evaluate(pq_, lists, self.n_docs, self.avgdl, self.config, k)

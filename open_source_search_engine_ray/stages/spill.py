@@ -178,11 +178,32 @@ def spill_postings(transcripts_ds, spill_dir: str, docstore_dir: str,
             timings[k] += v
     for w in writers:
         ray.kill(w)
-    stats = pa.concat_tables(stat_tables).to_pandas()
+    merged = _merge_doc_stats(stat_tables)
+    return files, merged, timings
+
+
+# above this row count the doc-stat partial merge goes through a Ray
+# aggregate instead of driver-side pandas (the partials are one row per
+# (writer, doc); at 10^11 docs the driver could not hold them)
+DRIVER_MERGE_MAX_ROWS = 5_000_000
+
+
+def _merge_doc_stats(stat_tables: list[pa.Table]) -> pd.DataFrame:
+    total = sum(t.num_rows for t in stat_tables)
     agg = {f"len_f{f}": "sum" for f in range(NUM_FIELDS)}
     agg["conv_id"] = "min"
-    merged = stats.groupby("doc_id", as_index=False).agg(agg)
-    return files, merged, timings
+    if total <= DRIVER_MERGE_MAX_ROWS:
+        stats = pa.concat_tables(stat_tables).to_pandas()
+        return stats.groupby("doc_id", as_index=False).agg(agg)
+    # distributed merge: exact int sums are order-independent
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    ds = ray.data.from_arrow(stat_tables)
+    aggs = [Min("conv_id", alias_name="conv_id")]
+    aggs += [Sum(f"len_f{f}", alias_name=f"len_f{f}")
+             for f in range(NUM_FIELDS)]
+    return ds.groupby("doc_id").aggregate(*aggs).to_pandas()
 
 
 def _run_index(path: str) -> dict:
