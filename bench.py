@@ -130,7 +130,7 @@ def main() -> None:
         # BASELINE.md as the bandwidth-limited regime.
         lo, hi = (int(x) for x in os.environ.get(
             "GRAFT_SCALING_CPUS", "2,8").split(","))
-        n_conv = int(os.environ.get("GRAFT_SCALING_NCONV", "100000"))
+        n_conv = int(os.environ.get("GRAFT_SCALING_NCONV", "200000"))
         # pre-generate the shared input corpus at full parallelism so the
         # low-cpu run doesn't pay generation cost
         import ray

@@ -37,6 +37,10 @@ TURN_STRIDE = 2048
 
 @dataclass
 class IndexConfig:
+    # on-disk segment format version: part of the config hash, so caches,
+    # resume fingerprints and index directories invalidate when the segment
+    # layout changes (v2: separate position count/delta streams)
+    format_version: int = 2
     # BM25 parameters (the scoring contract; see functions/bm25.py)
     k1: float = 1.2
     b: float = 0.75

@@ -95,7 +95,7 @@ def load_doc_stats(out_dir: str):
     return tbl, doc_ids[order], (dl_q[order].astype(np.float64) / 4.0).astype(np.float32), dl_q
 
 def estimate_hot_terms(transcripts_ds, config: IndexConfig,
-                       sample_turns: int = 20_000) -> np.ndarray:
+                       sample_turns: int = 8_000) -> np.ndarray:
     """Sample-based hot-term detection for salted repartitioning.
 
     The Zipf head is stable under a prefix sample; a term is "hot" when it
