@@ -190,6 +190,257 @@ def live_transcripts(out_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _dead_mask_for(doc_ids: np.ndarray, gen: int, tomb_doc: np.ndarray,
+                   tomb_dead: np.ndarray) -> np.ndarray:
+    if len(tomb_doc) == 0 or len(doc_ids) == 0:
+        return np.zeros(len(doc_ids), dtype=bool)
+    idx = np.clip(np.searchsorted(tomb_doc, doc_ids), 0, len(tomb_doc) - 1)
+    return (tomb_doc[idx] == doc_ids) & (tomb_dead[idx] >= gen)
+
+
+def _merge_decoded_parts(parts: list[tuple[int, dict]], tomb_doc, tomb_dead):
+    """Merge decoded posting parts (gen-tagged) of ONE term → group arrays
+    (docs sorted, tfs, dl, flat positions, counts) with tombstones applied.
+    The in-memory ``posdbMerge_r`` (RdbList.cpp:2186-2400): sorted union
+    with negative-key annihilation."""
+    from ..functions.ragged import ragged_concat, ragged_select
+
+    docs_p, tfs_p, dl_p, pos_p = [], [], [], []
+    for gen, d in parts:
+        alive = ~_dead_mask_for(d["doc_ids"], gen, tomb_doc, tomb_dead)
+        if not alive.any():
+            continue
+        docs_p.append(d["doc_ids"][alive])
+        tfs_p.append(d["tfs"][alive])
+        dl_p.append(d["dl"][alive])
+        flat, offs = d["positions"]
+        if alive.all():
+            pos_p.append((flat, offs))
+        else:
+            pos_p.append(ragged_select(flat, np.asarray(offs, np.int64),
+                                       np.flatnonzero(alive)))
+    if not docs_p:
+        return None
+    docs = np.concatenate(docs_p)
+    order = np.argsort(docs, kind="stable")
+    flat_all, offs_all = ragged_concat(pos_p)
+    flat_sorted, offs_sorted = ragged_select(flat_all, offs_all, order)
+    return (docs[order], np.concatenate(tfs_p)[order],
+            np.concatenate(dl_p)[order], flat_sorted,
+            np.diff(offs_sorted))
+
+
+def _merge_normal_shard(gen_dirs: list[tuple[int, str]], shard: int,
+                        union_hot: np.ndarray, tomb,
+                        config: IndexConfig, avgdl: float,
+                        new_dir: str, fingerprint: str) -> dict:
+    """Merge one normal target shard from every generation's same-numbered
+    shard file (non-hot terms never move: shard = term % P in every
+    generation)."""
+    import pyarrow.parquet as pq2
+
+    from .manifest import write_manifest
+    from .segments import decode_posting_row, encode_from_groups, write_segment
+    from .manifest import segment_path as seg_path
+
+    tomb_doc, tomb_dead = tomb
+    t0 = time.time()
+    by_term: dict[int, list] = {}
+    for gen, d in gen_dirs:
+        path = seg_path(d, shard)
+        if not os.path.exists(path):
+            continue
+        tbl = pq2.read_table(path)
+        for row in tbl.to_pylist():
+            t = int(row["term_id"])
+            if len(union_hot) and bool(
+                    np.isin(np.uint64(t), union_hot).item()):
+                continue  # re-salted terms go to the hot-term tasks
+            by_term.setdefault(t, []).append(
+                (gen, decode_posting_row(row, with_positions=True)))
+    gt, gd, gl, tf_l, fp_l, cnt_l = [], [], [], [], [], []
+    for t in sorted(by_term):
+        merged = _merge_decoded_parts(by_term[t], tomb_doc, tomb_dead)
+        if merged is None:
+            continue
+        docs, tfs, dl, flat, counts = merged
+        gt.append(np.full(len(docs), t, dtype=np.uint64))
+        gd.append(docs)
+        gl.append(dl)
+        tf_l.append(tfs)
+        fp_l.append(flat)
+        cnt_l.append(counts)
+    if gt:
+        seg = encode_from_groups(
+            np.concatenate(gt), np.concatenate(gd), np.concatenate(gl),
+            np.concatenate(tf_l), np.concatenate(fp_l),
+            np.concatenate(cnt_l), config, 0, avgdl)
+        path = seg_path(new_dir, shard)
+        write_segment(seg, path)
+        n_terms, n_post = seg.num_rows, int(seg["df"].to_pandas().sum())
+        nbytes = os.path.getsize(path)
+    else:
+        n_terms = n_post = nbytes = 0
+    write_manifest(new_dir, shard, fingerprint=fingerprint,
+                   n_terms=n_terms, n_postings=n_post,
+                   bytes_written=nbytes, wall_sec=time.time() - t0)
+    return {"shard": shard, "n_terms": n_terms, "n_postings": n_post}
+
+
+def _merge_hot_terms(gen_infos: list[tuple[int, str, list, int, int]],
+                     hot_items: list[tuple[int, int]], union_hot: np.ndarray,
+                     tomb, config: IndexConfig, avgdl: float,
+                     new_dir: str, fingerprint: str,
+                     target_p: int, target_s: int) -> list[dict]:
+    """Merge a chunk of hot terms: gather each term's parts from every
+    generation (its hot shards there, or its normal shard when that
+    generation didn't salt it), merge, re-split by doc % S into the target
+    hot shards."""
+    import pyarrow.parquet as pq2
+
+    from ..functions.ragged import ragged_select
+    from .manifest import segment_path as seg_path, write_manifest
+    from .segments import (SegmentReader, decode_posting_row,
+                           encode_from_groups, write_segment)
+
+    tomb_doc, tomb_dead = tomb
+    out = []
+    per_shard_rows: dict[int, list] = {}
+    for hot_idx, term in hot_items:
+        parts = []
+        for gen, d, hot_list, p, s in gen_infos:
+            hot_arr = np.asarray(hot_list, dtype=np.uint64)
+            pos = int(np.searchsorted(hot_arr, np.uint64(term)))
+            if pos < len(hot_arr) and hot_arr[pos] == np.uint64(term):
+                shards = range(p + pos * s, p + pos * s + s)
+            else:
+                shards = [int(np.uint64(term) % np.uint64(p))]
+            for sh in shards:
+                path = seg_path(d, sh)
+                if not os.path.exists(path):
+                    continue
+                rd = SegmentReader(path)
+                for row in rd.read_terms([term]).to_pylist():
+                    parts.append((gen, decode_posting_row(
+                        row, with_positions=True)))
+        merged = _merge_decoded_parts(parts, tomb_doc, tomb_dead)
+        if merged is None:
+            continue
+        docs, tfs, dl, flat, counts = merged
+        offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        salts = (docs % np.uint64(target_s)).astype(np.int64)
+        for salt in range(target_s):
+            sel = np.flatnonzero(salts == salt)
+            if len(sel) == 0:
+                continue
+            f2, o2 = ragged_select(flat, offs, sel)
+            shard = target_p + hot_idx * target_s + salt
+            per_shard_rows.setdefault(shard, []).append(
+                (term, docs[sel], tfs[sel], dl[sel], f2, np.diff(o2), salt))
+    for shard, rows in per_shard_rows.items():
+        t0 = time.time()
+        rows.sort(key=lambda r: r[0])
+        seg = encode_from_groups(
+            np.concatenate([np.full(len(r[1]), r[0], np.uint64)
+                            for r in rows]),
+            np.concatenate([r[1] for r in rows]),
+            np.concatenate([r[3] for r in rows]),
+            np.concatenate([r[2] for r in rows]),
+            np.concatenate([r[4] for r in rows]),
+            np.concatenate([r[5] for r in rows]),
+            config, rows[0][6], avgdl)
+        path = seg_path(new_dir, shard)
+        write_segment(seg, path)
+        write_manifest(new_dir, shard, fingerprint=fingerprint,
+                       n_terms=seg.num_rows,
+                       n_postings=int(seg["df"].to_pandas().sum()),
+                       bytes_written=os.path.getsize(path),
+                       wall_sec=time.time() - t0, salt=rows[0][6])
+        out.append({"shard": shard, "n_terms": seg.num_rows})
+    return out
+
+
+def compact_merge(out_dir: str) -> dict:
+    """Segment-level compaction: k-way merge of every generation's posting
+    lists with tombstone annihilation, re-encoded into a fresh
+    single-generation index — the ``RdbMerge`` / ``posdbMerge_r`` path
+    (``RdbList.cpp:2186-2400``), no re-tokenization."""
+    import ray
+
+    from .build import load_meta
+
+    base_meta = load_meta(out_dir)
+    cfg = IndexConfig(**{**base_meta["config"],
+                         "field_weights":
+                         tuple(base_meta["config"]["field_weights"])})
+    gens = read_generations(out_dir)
+    tomb = read_tombstones(out_dir)
+    gen_list = sorted(gens["generations"], key=lambda g: g["gen"])
+    gen_dirs = [(g["gen"], gen_dir(out_dir, g["gen"])) for g in gen_list]
+    gen_infos = []
+    hot_union: set[int] = set()
+    for gen, d in gen_dirs:
+        m = load_meta(d)
+        gen_infos.append((gen, d, sorted(m["hot_terms"]),
+                          m["num_partitions"], m["num_salts"]))
+        hot_union.update(m["hot_terms"])
+    union_hot = np.asarray(sorted(hot_union), dtype=np.uint64)
+
+    new_dir = out_dir + ".compacting"
+    shutil.rmtree(new_dir, ignore_errors=True)
+    os.makedirs(new_dir, exist_ok=True)
+    fingerprint = f"compact-merge:{base_meta['fingerprint']}"
+
+    # live doc stats + doc store carried over
+    stats = live_doc_stats(out_dir)
+    os.makedirs(os.path.join(new_dir, "docstats"), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(stats.drop(columns=["gen"]),
+                                        preserve_index=False),
+                   os.path.join(new_dir, "docstats", "part-0.parquet"))
+    n_docs = len(stats)
+    total_dlq = int(stats["dl_q"].sum())
+    avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(n_docs))
+    store = live_transcripts(out_dir)
+    os.makedirs(os.path.join(new_dir, "docstore"), exist_ok=True)
+    pq.write_table(store, os.path.join(new_dir, "docstore",
+                                       "part-0.parquet"))
+
+    p, s = cfg.num_partitions, cfg.num_salts
+    norm_task = ray.remote(num_cpus=1)(_merge_normal_shard)
+    futs = [norm_task.remote(gen_dirs, sh, union_hot, tomb, cfg, avgdl,
+                             new_dir, fingerprint) for sh in range(p)]
+    hot_items = list(enumerate(int(t) for t in union_hot))
+    hot_task = ray.remote(num_cpus=1)(_merge_hot_terms)
+    chunk = max(1, len(hot_items) // 32) if hot_items else 1
+    futs += [hot_task.remote(gen_infos, hot_items[i:i + chunk], union_hot,
+                             tomb, cfg, avgdl, new_dir, fingerprint, p, s)
+             for i in range(0, len(hot_items), chunk)]
+    results = ray.get(futs)
+
+    n_terms = n_postings = 0
+    for r in results:
+        for item in (r if isinstance(r, list) else [r]):
+            n_terms += item.get("n_terms", 0)
+            n_postings += item.get("n_postings", 0)
+    meta = dict(base_meta)
+    meta.update({
+        "fingerprint": fingerprint,
+        "n_docs": n_docs, "total_dlq": total_dlq, "avgdl": avgdl,
+        "hot_terms": [int(t) for t in union_hot],
+        "n_terms": n_terms, "n_postings": n_postings,
+        "compacted_from": [g["gen"] for g in gen_list],
+    })
+    with open(os.path.join(new_dir, "index_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+    old_dir = out_dir + ".old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.replace(out_dir, old_dir)
+    os.replace(new_dir, out_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return meta
+
+
 def compact(out_dir: str, config: IndexConfig | None = None) -> dict:
     """Rebuild the live corpus into a fresh single-generation index and
     swap (Repair/DocRebuild analogue)."""

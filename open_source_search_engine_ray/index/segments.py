@@ -107,6 +107,26 @@ def encode_shard(postings: pa.Table, config: IndexConfig, salt: int,
     np.add.at(grp_pos_counts, grp_of_pos, 1)
     grp_pos_offsets = np.concatenate([[0], np.cumsum(grp_pos_counts)])
 
+    return encode_from_groups(g_term, g_doc, g_dl, tfs, flat_pos,
+                              grp_pos_counts, config, salt, avgdl)
+
+
+def encode_from_groups(g_term: np.ndarray, g_doc: np.ndarray,
+                       g_dl: np.ndarray, tfs: np.ndarray,
+                       flat_pos: np.ndarray, grp_pos_counts: np.ndarray,
+                       config: IndexConfig, salt: int,
+                       avgdl: float) -> pa.Table:
+    """Encode already-merged (term, doc) groups (sorted by term then doc)
+    into segment rows.  Shared by the build path (``encode_shard``) and
+    segment-level compaction (index/merge.py) — same blobs either way."""
+    if len(g_term) == 0:
+        return SEGMENT_SCHEMA.empty_table()
+    n_td = len(g_term)
+    wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
+                    dtype=np.int64)
+    tfq = tfs @ wq
+    grp_pos_offsets = np.concatenate([[0], np.cumsum(grp_pos_counts)])
+
     # term boundaries over the (term,doc) groups
     new_t = np.empty(n_td, dtype=bool)
     new_t[0] = True

@@ -96,3 +96,26 @@ def test_compaction_preserves_results(incr_index, live_oracle, ray_session):
         assert list(d1) == list(d2), (qid, q)
         assert list(s1) == list(s2), (qid, q)
     shutil.rmtree(idx2, ignore_errors=True)
+
+
+def test_segment_merge_compaction(incr_index, live_oracle, ray_session):
+    """Segment-level compaction (posdbMerge analogue): same results as the
+    live-corpus oracle, single generation, no re-tokenization."""
+    from open_source_search_engine_ray.index.merge import compact_merge
+
+    idx5 = IDX + "_segmerge"
+    shutil.rmtree(idx5, ignore_errors=True)
+    shutil.copytree(IDX, idx5)
+    meta = compact_merge(idx5)
+    assert meta["compacted_from"] == [0, 1, 2]
+    gens = read_generations(idx5)
+    assert [g["gen"] for g in gens["generations"]] == [0]
+    se = IndexSearcher(idx5)
+    assert se.n_docs == live_oracle.n_docs
+    assert se.avgdl == live_oracle.avgdl
+    for qid, q, k in query_set():
+        d1, s1 = se.search(q, k)
+        d2, s2 = live_oracle.search(q, k)
+        assert list(d1) == list(d2), (qid, q)
+        assert list(s1) == list(s2), (qid, q)
+    shutil.rmtree(idx5, ignore_errors=True)
