@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_docs": dedup.simhash_docs,
         # similarity search
@@ -82,6 +83,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_term_df": doc_search.doc_term_df_sql(),
         "exact_dedup": dedup.exact_dedup_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
+        "dedup_clusters": dedup.dedup_clusters_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs_sql(),
         "token_stats": text_analysis.token_stats_sql(),

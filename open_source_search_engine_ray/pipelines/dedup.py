@@ -183,6 +183,50 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_clusters(sf_dir: str):
+    """→ (doc_id, cluster_id): connected components over the exact
+    near-dup pair graph (Jaccard ≥ 0.5), cluster_id = min doc_id in the
+    component.  Pairs are computed distributed (shared-shingle join);
+    the component labeling runs driver-side union-find because the pair
+    set is provably small (≪ corpus); at larger scale this becomes a few
+    rounds of min-label propagation with groupby."""
+    pairs = ngram_jaccard_pairs(sf_dir).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    docs = sorted(parent)
+    return pd.DataFrame({"doc_id": docs,
+                         "cluster_id": [find(d) for d in docs]})
+
+
+def dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE base AS ({ngram_jaccard_pairs_sql().replace(';', '')}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM base
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM base
+),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+comp(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.b, c.lbl FROM comp c JOIN edges e ON e.a = c.doc_id
+)
+SELECT doc_id, min(lbl) AS cluster_id FROM comp GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (approximate; rows-only correctness check)
 # ---------------------------------------------------------------------------
