@@ -123,6 +123,21 @@ def delete_convs(out_dir: str, conv_ids: list[str]) -> int:
     return delete_docs(out_dir, doc_ids_for_convs(conv_ids).tolist())
 
 
+def update_documents(out_dir: str, transcripts_ds_factory, *,
+                     input_token: str,
+                     config: IndexConfig | None = None) -> dict:
+    """Update = tombstone the incoming documents' old versions, then index
+    the new versions in a fresh generation (the respider path: delete-doc
+    negative keys + reindex, ``XmlDoc`` old-doc diff → ``Rdb``
+    annihilation)."""
+    from ..functions.ghash import doc_ids_for_convs
+
+    convs = (transcripts_ds_factory().unique("conv_id"))
+    delete_docs(out_dir, doc_ids_for_convs(sorted(convs)).tolist())
+    return add_documents(out_dir, transcripts_ds_factory,
+                         input_token=input_token, config=config)
+
+
 def live_doc_stats(out_dir: str) -> pd.DataFrame:
     """Per-doc stats with newest-generation-wins and tombstones applied."""
     gens = read_generations(out_dir)

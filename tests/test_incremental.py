@@ -119,3 +119,27 @@ def test_segment_merge_compaction(incr_index, live_oracle, ray_session):
         assert list(d1) == list(d2), (qid, q)
         assert list(s1) == list(s2), (qid, q)
     shutil.rmtree(idx5, ignore_errors=True)
+
+
+def test_update_documents(ray_session):
+    """update = tombstone + readd: the updated corpus scores like a fresh
+    build over it (respider/annihilation analogue)."""
+    from open_source_search_engine_ray.index.build import build_index
+    from open_source_search_engine_ray.index.merge import update_documents
+
+    idx6 = IDX + "_upd"
+    shutil.rmtree(idx6, ignore_errors=True)
+    build_index(lambda: transcripts_dataset(100), idx6,
+                input_token="upd:base")
+    # "re-crawl" convs 10..19 (same deterministic content → revival path)
+    update_documents(
+        idx6, lambda: transcripts_dataset_range(10, 20),
+        input_token="upd:delta")
+    oracle = OracleIndex(generate_conv_rows(np.arange(100)))
+    se = IndexSearcher(idx6)
+    assert se.n_docs == oracle.n_docs and se.avgdl == oracle.avgdl
+    for qid, q, k in query_set():
+        d1, s1 = se.search(q, k)
+        d2, s2 = oracle.search(q, k)
+        assert list(d1) == list(d2) and list(s1) == list(s2), qid
+    shutil.rmtree(idx6, ignore_errors=True)
