@@ -93,8 +93,8 @@ def _load_table() -> np.ndarray:
     tab = _generate_table()
     try:  # cache for fast worker imports; best-effort
         tmp = _CACHE_PATH + ".tmp.%d" % os.getpid()
-        np.save(tmp, tab)
-        os.replace(tmp, _CACHE_PATH)
+        np.save(tmp, tab)            # np.save appends ".npy"
+        os.replace(tmp + ".npy", _CACHE_PATH)
     except OSError:
         pass
     return tab
