@@ -86,6 +86,16 @@ def add_documents(out_dir: str, transcripts_ds_factory, *,
     cfg = config or IndexConfig(**{
         **base_meta["config"],
         "field_weights": tuple(base_meta["config"]["field_weights"])})
+    # compact_merge's normal-shard path merges same-numbered shard files
+    # across generations, so the partition layout must match the base index
+    base_cfg = base_meta["config"]
+    if (cfg.num_partitions != base_cfg["num_partitions"]
+            or cfg.num_salts != base_cfg["num_salts"]):
+        raise ValueError(
+            "add_documents: generation partitioning must match the base "
+            f"index (base num_partitions={base_cfg['num_partitions']} "
+            f"num_salts={base_cfg['num_salts']}, got "
+            f"{cfg.num_partitions}/{cfg.num_salts})")
     meta = build_index(transcripts_ds_factory, sub, cfg,
                        input_token=input_token)
     gens["generations"].append({"gen": new_gen,
@@ -252,44 +262,63 @@ def _merge_normal_shard(gen_dirs: list[tuple[int, str]], shard: int,
     """Merge one normal target shard from every generation's same-numbered
     shard file (non-hot terms never move: shard = term % P in every
     generation)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq2
 
+    from ..functions.ragged import ragged_select
     from .manifest import write_manifest
-    from .segments import decode_posting_row, encode_from_groups, write_segment
+    from .segments import decode_posting_table, encode_from_groups, \
+        write_segment
     from .manifest import segment_path as seg_path
 
     tomb_doc, tomb_dead = tomb
     t0 = time.time()
-    by_term: dict[int, list] = {}
+    # bulk path: every generation's shard table is decoded in ONE
+    # vectorized pass (decode_posting_table), tombstones applied as a
+    # posting mask, then the gen parts are concatenated and stably
+    # lexsorted by (term, doc) — equal keys keep generation order, the
+    # same order the per-term merge produced
+    gt, gd, gl, tf_l, fp_l, cnt_l = [], [], [], [], [], []
     for gen, d in gen_dirs:
         path = seg_path(d, shard)
         if not os.path.exists(path):
             continue
         tbl = pq2.read_table(path)
-        for row in tbl.to_pylist():
-            t = int(row["term_id"])
-            if len(union_hot) and bool(
-                    np.isin(np.uint64(t), union_hot).item()):
-                continue  # re-salted terms go to the hot-term tasks
-            by_term.setdefault(t, []).append(
-                (gen, decode_posting_row(row, with_positions=True)))
-    gt, gd, gl, tf_l, fp_l, cnt_l = [], [], [], [], [], []
-    for t in sorted(by_term):
-        merged = _merge_decoded_parts(by_term[t], tomb_doc, tomb_dead)
-        if merged is None:
+        if len(union_hot):
+            # re-salted terms go to the hot-term tasks
+            keep = pc.invert(pc.is_in(
+                tbl["term_id"], value_set=pa.array(union_hot, pa.uint64())))
+            tbl = tbl.filter(keep)
+        dec = decode_posting_table(tbl, with_positions=True)
+        if len(dec["term"]) == 0:
             continue
-        docs, tfs, dl, flat, counts = merged
-        gt.append(np.full(len(docs), t, dtype=np.uint64))
-        gd.append(docs)
-        gl.append(dl)
-        tf_l.append(tfs)
+        alive = ~_dead_mask_for(dec["docs"], gen, tomb_doc, tomb_dead)
+        if not alive.any():
+            continue
+        offs = np.concatenate([[0], np.cumsum(dec["counts"])])
+        if alive.all():
+            flat, counts = dec["flat_pos"], dec["counts"]
+        else:
+            flat, o2 = ragged_select(dec["flat_pos"], offs,
+                                     np.flatnonzero(alive))
+            counts = np.diff(o2)
+        gt.append(dec["term"][alive])
+        gd.append(dec["docs"][alive])
+        gl.append(dec["dl"][alive])
+        tf_l.append(dec["tfs"][alive])
         fp_l.append(flat)
         cnt_l.append(counts)
     if gt:
+        term = np.concatenate(gt)
+        docs = np.concatenate(gd)
+        order = np.lexsort((docs, term))  # stable: gen order on ties
+        counts = np.concatenate(cnt_l)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        flat_s, offs_s = ragged_select(np.concatenate(fp_l), offs, order)
         seg = encode_from_groups(
-            np.concatenate(gt), np.concatenate(gd), np.concatenate(gl),
-            np.concatenate(tf_l), np.concatenate(fp_l),
-            np.concatenate(cnt_l), config, 0, avgdl)
+            term[order], docs[order], np.concatenate(gl)[order],
+            np.concatenate(tf_l)[order], flat_s, np.diff(offs_s),
+            config, 0, avgdl)
         path = seg_path(new_dir, shard)
         write_segment(seg, path)
         n_terms, n_post = seg.num_rows, int(seg["df"].to_pandas().sum())
@@ -399,6 +428,13 @@ def compact_merge(out_dir: str) -> dict:
         gen_infos.append((gen, d, sorted(m["hot_terms"]),
                           m["num_partitions"], m["num_salts"]))
         hot_union.update(m["hot_terms"])
+        if (m["num_partitions"] != cfg.num_partitions
+                or m["num_salts"] != cfg.num_salts):
+            raise ValueError(
+                f"compact_merge: generation {gen} partitioning "
+                f"({m['num_partitions']}/{m['num_salts']}) differs from the "
+                f"base index ({cfg.num_partitions}/{cfg.num_salts}); "
+                "rebuild with compact() instead")
     union_hot = np.asarray(sorted(hot_union), dtype=np.uint64)
 
     new_dir = out_dir + ".compacting"

@@ -105,7 +105,16 @@ def encode_shard(postings: pa.Table, config: IndexConfig, salt: int,
     flat_pos = flat_pos[pos_order]
     grp_pos_counts = np.zeros(n_td, dtype=np.int64)
     np.add.at(grp_pos_counts, grp_of_pos, 1)
-    grp_pos_offsets = np.concatenate([[0], np.cumsum(grp_pos_counts)])
+
+    # deterministic positions cap: per (term, doc), after the merge of all
+    # batch partials and the ascending sort, keep only the first
+    # max_positions_per_doc positions.  tf is NOT capped (scoring exact);
+    # only phrase matching sees the truncation — same rule in OracleIndex.
+    cap = config.max_positions_per_doc
+    if int(grp_pos_counts.max(initial=0)) > cap:
+        keep = _ragged_arange(grp_pos_counts) < cap
+        flat_pos = flat_pos[keep]
+        grp_pos_counts = np.minimum(grp_pos_counts, cap)
 
     return encode_from_groups(g_term, g_doc, g_dl, tfs, flat_pos,
                               grp_pos_counts, config, salt, avgdl)
@@ -277,6 +286,94 @@ class SegmentReader:
         tbl = self._pf.read_row_groups(rgs, columns=cols)
         mask = pc.is_in(tbl["term_id"], value_set=pa.array(want, pa.uint64()))
         return tbl.filter(mask)
+
+
+def _concat_binary(col) -> tuple[np.ndarray, np.ndarray]:
+    """(large_)binary column → (contiguous uint8 data, value offsets)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    obuf = arr.buffers()[1]
+    width = 8 if pa.types.is_large_binary(arr.type) else 4
+    dt = np.int64 if width == 8 else np.int32
+    offs = np.frombuffer(obuf, dtype=dt)[arr.offset:arr.offset + len(arr) + 1]
+    dbuf = arr.buffers()[2]
+    data = (np.frombuffer(dbuf, dtype=np.uint8) if dbuf is not None
+            else np.zeros(0, dtype=np.uint8))
+    return data[offs[0]:offs[-1]], (offs - offs[0]).astype(np.int64)
+
+
+def decode_posting_table(tbl: pa.Table, with_positions: bool = True) -> dict:
+    """Decode ALL rows of a segment table in one vectorized pass → flat
+    posting arrays (the bulk path ``compact_merge`` uses; per-row
+    :func:`decode_posting_row` remains for single-term query reads).
+
+    Varbyte is self-delimiting, so decoding the concatenation of every
+    row's blob equals concatenating the per-row decodes — each blob column
+    is decoded once, then per-row delta resets are applied with segmented
+    cumsum corrections (no per-term Python loop).
+
+    Returns dict: ``term`` uint64 per posting, ``docs`` uint64, ``tfs``
+    (n, NUM_FIELDS) int64, ``dl`` float32, and with positions ``counts``
+    int64 per posting + ``flat_pos`` uint64.
+    """
+    n_rows = tbl.num_rows
+    empty = {
+        "term": np.zeros(0, np.uint64), "docs": np.zeros(0, np.uint64),
+        "tfs": np.zeros((0, NUM_FIELDS), np.int64),
+        "dl": np.zeros(0, np.float32), "counts": np.zeros(0, np.int64),
+        "flat_pos": np.zeros(0, np.uint64),
+    }
+    if n_rows == 0:
+        return empty
+    df = tbl["df"].to_numpy().astype(np.int64)
+    total = int(df.sum())
+    if total == 0:
+        return empty
+    post_offs = np.concatenate([[0], np.cumsum(df)])
+    row_of_post = np.repeat(np.arange(n_rows, dtype=np.int64), df)
+    term = np.repeat(tbl["term_id"].to_numpy(), df)
+
+    # docIds: decode all deltas, cumsum, subtract per-row correction so
+    # each row's first (absolute) docId survives
+    doc_cat, _ = _concat_binary(tbl["doc_blob"])
+    deltas = varbyte.decode(doc_cat)
+    flat = np.cumsum(deltas, dtype=np.uint64)
+    starts = post_offs[:-1]
+    corr = flat[starts] - deltas[starts]
+    docs = flat - np.repeat(corr, df)
+
+    dl_cat, _ = _concat_binary(tbl["dl_blob"])
+    dl = np.frombuffer(dl_cat.tobytes(), dtype="<f4")
+
+    # per-field tfs: the fixed-size-list values concatenate row-major as
+    # (row0 f0 | row0 f1 | ... | row1 f0 | ...); one decode, then gather
+    tf_col = tbl["tf_blobs"].combine_chunks()
+    if isinstance(tf_col, pa.ChunkedArray):
+        tf_col = tf_col.combine_chunks()
+    tf_cat, _ = _concat_binary(tf_col.values)
+    tf_all = varbyte.decode(tf_cat).astype(np.int64)
+    local = np.arange(total, dtype=np.int64) - post_offs[row_of_post]
+    base = NUM_FIELDS * post_offs[row_of_post]
+    df_rep = df[row_of_post]
+    tfs = np.empty((total, NUM_FIELDS), dtype=np.int64)
+    for f in range(NUM_FIELDS):
+        tfs[:, f] = tf_all[base + f * df_rep + local]
+
+    out = {"term": term, "docs": docs, "tfs": tfs, "dl": dl}
+    if with_positions:
+        cnt_cat, _ = _concat_binary(tbl["cnt_blob"])
+        counts = varbyte.decode(cnt_cat).astype(np.int64)
+        pos_cat, _ = _concat_binary(tbl["pos_blob"])
+        pdeltas = varbyte.decode(pos_cat)
+        pflat = np.cumsum(pdeltas, dtype=np.uint64)
+        pos_offs = np.concatenate([[0], np.cumsum(counts)])
+        nz = counts > 0
+        pstarts = pos_offs[:-1][nz]
+        if len(pflat):
+            seg_corr = pflat[pstarts] - pdeltas[pstarts]
+            pflat = pflat - np.repeat(seg_corr, counts[nz])
+        out["counts"] = counts
+        out["flat_pos"] = pflat
+    return out
 
 
 def decode_posting_row(row: dict, with_positions: bool = False) -> dict:

@@ -151,6 +151,7 @@ class DistributedSearcher:
 
         pq_ = parse_query(query, self.config.bigram_weight)
         phrase_terms = {t for chain in pq_.phrases for t in chain}
+        phrase_terms |= {t for chain in pq_.neg_phrases for t in chain}
         # fan out ALL term fetches concurrently (Msg2::getLists analogue)
         futures: dict[int, list] = {}
         for t in pq_.terms:

@@ -176,6 +176,7 @@ class IndexSearcher:
 
     def _lists_for(self, pq_: ParsedQuery) -> dict[int, TermPostings | None]:
         phrase_terms = {t for chain in pq_.phrases for t in chain}
+        phrase_terms |= {t for chain in pq_.neg_phrases for t in chain}
         lists: dict[int, TermPostings | None] = {}
         for t in pq_.terms:
             if t.term_id not in lists:

@@ -225,7 +225,8 @@ def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
     are result-identical to the exact path (tests/test_pruning.py) — the
     multi-term path re-scores surviving candidates in canonical expansion
     order so even the float accumulation matches."""
-    if prune and not query.phrases and not query.or_groups:
+    if (prune and not query.phrases and not query.neg_phrases
+            and not query.or_groups):
         positives_all = [t for t in query.terms
                          if not t.negative and not t.is_bigram]
         if (len(query.terms) == 1 and len(positives_all) == 1):
@@ -264,7 +265,9 @@ def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
 
     positives = [t for t in query.terms if not t.negative and not t.is_bigram]
     required = [t for t in positives if t.required]
-    negatives = [t for t in query.terms if t.negative]
+    # plain negative terms anti-join on the whole list; terms of a negated
+    # phrase (quote_id >= 0) only exclude via the adjacency check below
+    negatives = [t for t in query.terms if t.negative and t.quote_id < 0]
 
     # required units: single required terms + OR disjunction groups
     # (a unit matches when any alternative matches; units intersect)
@@ -296,6 +299,11 @@ def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
     for chain in query.phrases:
         pd = _phrase_docs(chain, lists)
         cand = cand[in_sorted(cand, pd)]
+
+    for chain in query.neg_phrases:
+        pd = _phrase_docs(chain, lists)
+        if len(pd) and len(cand):
+            cand = cand[~in_sorted(cand, pd)]
 
     return _score_candidates(query, lists, cand, n_docs, avgdl, config, k,
                              wq)

@@ -79,7 +79,10 @@ class OracleIndex:
             tfs = np.asarray([docs[int(d)][0] for d in dids], dtype=np.int64)
             dl = np.asarray([self.dl32[int(d)] for d in dids],
                             dtype=np.float32)
-            plists = [sorted(docs[int(d)][1]) for d in dids]
+            # same deterministic cap as the engine (segments.py:encode_shard):
+            # first max_positions_per_doc sorted positions per (term, doc)
+            cap = cfg.max_positions_per_doc
+            plists = [sorted(docs[int(d)][1])[:cap] for d in dids]
             offsets = np.concatenate(
                 [[0], np.cumsum([len(p) for p in plists])]).astype(np.int64)
             flat = (np.concatenate([np.asarray(p, dtype=np.uint64)

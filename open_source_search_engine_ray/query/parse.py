@@ -54,6 +54,9 @@ class ParsedQuery:
     raw: str
     terms: list[QTerm] = field(default_factory=list)       # expansion order
     phrases: list[list[int]] = field(default_factory=list)  # term_id chains
+    # negated quoted phrases (-"foo bar"): docs where the chain matches at
+    # consecutive positions are EXCLUDED; chain terms don't score
+    neg_phrases: list[list[int]] = field(default_factory=list)
     # boolean OR units (Query.h:149-158 boolean-op analogue): each group is
     # a required disjunction — a candidate doc must match ≥1 alternative
     or_groups: list[list[int]] = field(default_factory=list)
@@ -99,11 +102,18 @@ def parse_query(q: str, bigram_weight: float = 0.5,
             quote_id += 1
             body = q[i + 1:j]
             toks, hyph, _ = tokenize(body)
-            for t_i, tok in enumerate(toks):
-                stream.append((tok, False, True, quote_id, field_scope,
-                               hyph[t_i]))
+            # a sign before the quote applies to the whole phrase; a
+            # single-token negated quote degrades to a plain negative term
+            if neg and len(toks) == 1:
+                stream.append((toks[0], True, False, -1, field_scope, False))
                 group_of.append(next_group)
                 next_group += 1
+            else:
+                for t_i, tok in enumerate(toks):
+                    stream.append((tok, neg, True, quote_id, field_scope,
+                                   hyph[t_i]))
+                    group_of.append(next_group)
+                    next_group += 1
             join_next = False
             i = j + 1
             continue
@@ -150,7 +160,8 @@ def parse_query(q: str, bigram_weight: float = 0.5,
         is_stop = _is_query_stop(tok)
         required = (qid >= 0) or req or (not is_stop)
         if neg:
-            out.terms.append(QTerm(tok, tid, False, True, False, fscope))
+            out.terms.append(QTerm(tok, tid, False, True, False, fscope,
+                                   1.0, qid))
             continue
         if qid < 0:
             groups.setdefault(group_of[s_i], []).append(tid)
@@ -221,11 +232,17 @@ def parse_query(q: str, bigram_weight: float = 0.5,
         out.terms.append(QTerm(f"{tok1} {tok2}", tid, False, False, True,
                                fs1, bigram_weight, qid1))
 
-    # quoted phrase chains for the positional adjacency filter
+    # quoted phrase chains for the positional adjacency filter (a quote's
+    # tokens are uniformly positive or negative; negated chains go to
+    # neg_phrases and are excluded rather than required)
     if quote_id >= 0:
         for qid in range(quote_id + 1):
-            chain = [t.term_id for t in out.terms
-                     if t.quote_id == qid and not t.is_bigram]
+            members = [t for t in out.terms
+                       if t.quote_id == qid and not t.is_bigram]
+            chain = [t.term_id for t in members]
             if len(chain) >= 2:
-                out.phrases.append(chain)
+                if members[0].negative:
+                    out.neg_phrases.append(chain)
+                else:
+                    out.phrases.append(chain)
     return out

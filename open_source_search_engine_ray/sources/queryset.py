@@ -25,6 +25,7 @@ QUERIES: list[tuple[str, str, int]] = [
     ("q0014", "+w0042 w9321", 10),          # required + rare
     ("q0015", "tool:bash w0100", 10),       # tool-field query
     ("q0016", "cd-rom", 10),                # hyphenated bigram
+    ("q0017", 'w0042 -"w0042 w0777"', 10),  # negated quoted phrase
 ]
 
 

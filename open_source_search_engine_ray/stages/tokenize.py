@@ -191,15 +191,15 @@ class TokenizePostings:
         g_doc = doc[starts]
         g_term = terms[starts]
         g_field = field[starts]
-        # positions list per group, capped
-        cap = self.config.max_positions_per_doc
+        # positions list per group — uncapped here; the deterministic
+        # max_positions_per_doc cap is applied once per (term, doc) at
+        # encode time (index/segments.py:encode_shard), where partials
+        # from all batches have been merged, so segment bytes don't
+        # depend on batch boundaries
         offsets32 = np.append(starts, len(doc)).astype(np.int64)
         pos_list = pa.ListArray.from_arrays(
             pa.array(offsets32, pa.int32()),
             pa.array(gpos.astype(np.int32), pa.int32()))
-        if int(tf.max(initial=0)) > cap:
-            py = [v[:cap] for v in pos_list.to_pylist()]
-            pos_list = pa.array(py, pa.list_(pa.int32()))
 
         dl = self._lookup_dl(g_doc)
         shard = self._shards(g_term, g_doc)

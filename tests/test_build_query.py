@@ -154,6 +154,59 @@ def test_distributed_batch_eval(built_index, ray_session):
         assert sub.doc_id.tolist() == [int(x) for x in d]
 
 
+def test_positions_cap_contract(ray_session):
+    """max_positions_per_doc is applied once per (term, doc) at encode time
+    after all batch partials merge — engine and oracle store identical
+    (capped) positions regardless of batch boundaries, tf stays uncapped,
+    and phrase semantics match (ADVICE r1 regression)."""
+    import ray.data
+
+    from open_source_search_engine_ray.functions.ghash import (
+        TERMID_MASK, hash64_lower_utf8)
+
+    idx = IDX + "_cap"
+    shutil.rmtree(idx, ignore_errors=True)
+    rows = []
+    for t in range(3):  # 360 occurrences of "spam" spread over 3 turns
+        text = " ".join(["spam"] * 120) + (" endmark" if t == 2 else "")
+        rows.append(("CAPA", t, "user", text))
+    rows.append(("CAPB", 0, "user", "spam plain"))
+    tbl = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows]),
+        "tool": pa.array([None] * len(rows), pa.string()),
+        "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+    })
+    # repartition(3): the heavy doc's turns land in different batches
+    build_index(lambda: ray.data.from_arrow(tbl).repartition(3), idx,
+                input_token="captest")
+    from open_source_search_engine_ray.query.oracle import OracleIndex
+    orc = OracleIndex(tbl)
+    se = IndexSearcher(idx)
+    tid = int(np.uint64(hash64_lower_utf8("spam")) & TERMID_MASK)
+    pe = se.get_postings(tid, with_positions=True)
+    po = orc.get_postings(tid)
+    assert pe.doc_ids.tolist() == po.doc_ids.tolist()
+    fe, oe = pe.positions
+    fo, oo = po.positions
+    assert list(oe) == list(oo) and list(fe) == list(fo)
+    cap = se.config.max_positions_per_doc
+    lens = np.diff(np.asarray(oe))
+    assert lens.max() == cap          # heavy doc truncated to the cap
+    assert pe.tfs.sum(axis=1).max() == 360  # tf NOT capped
+    # phrase semantics identical: "spam endmark" is adjacent only past the
+    # cap → missed by BOTH sides (the documented contract)
+    for q in ('"spam spam"', '"spam endmark"'):
+        d1, s1 = se.search(q, 10)
+        d2, s2 = orc.search(q, 10)
+        assert list(d1) == list(d2) and list(s1) == list(s2), q
+    d1, _ = se.search('"spam spam"', 10)
+    assert len(d1) == 1               # only the heavy doc repeats spam
+    shutil.rmtree(idx, ignore_errors=True)
+
+
 def test_field_weight_override(built_index, oracle):
     """Per-query field-weight override (&hgw_* parm analogue): engine and
     oracle agree, and boosting the assistant field reorders results."""

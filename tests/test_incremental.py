@@ -143,3 +143,16 @@ def test_update_documents(ray_session):
         d2, s2 = oracle.search(q, k)
         assert list(d1) == list(d2) and list(s1) == list(s2), qid
     shutil.rmtree(idx6, ignore_errors=True)
+
+
+def test_mismatched_partitioning_rejected(incr_index):
+    """add_documents must refuse a generation whose partition layout
+    differs from the base index (compact_merge merges same-numbered
+    shards; ADVICE r1 regression)."""
+    from open_source_search_engine_ray.config import IndexConfig
+
+    with pytest.raises(ValueError, match="partitioning must match"):
+        add_documents(
+            incr_index, lambda: transcripts_dataset_range(900, 905),
+            input_token="incr:badcfg",
+            config=IndexConfig(num_partitions=7))

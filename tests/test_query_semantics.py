@@ -84,6 +84,33 @@ def test_stopword_optional(tiny):
     assert _convs(tiny, "the apple banana") == ["A"]
 
 
+@pytest.fixture(scope="module")
+def adjacency():
+    # F has apple..banana NON-adjacent; A adjacent; D banana only
+    return OracleIndex(_mk([
+        ("A", 0, "user", "apple banana"),
+        ("D", 0, "user", "banana solo"),
+        ("F", 0, "user", "apple fig banana"),
+    ]))
+
+
+def test_negated_phrase(adjacency):
+    # phrase "apple banana" matches only A (adjacent); F keeps both words
+    # non-adjacently and must NOT be excluded
+    assert _convs(adjacency, 'banana -"apple banana"') == ["D", "F"]
+    # a negated phrase that matches nowhere excludes nothing
+    assert _convs(adjacency, 'banana -"banana apple"') == ["A", "D", "F"]
+    # phrase terms don't score: identical scores with/without the filter
+    d1, s1 = adjacency.search('banana -"banana apple"', 10)
+    d2, s2 = adjacency.search("banana", 10)
+    assert list(d1) == list(d2) and list(s1) == list(s2)
+
+
+def test_negated_single_token_quote(tiny):
+    # -"cherry" degrades to a plain negative term
+    assert _convs(tiny, 'apple -"cherry"') == ["A", "E"]
+
+
 def test_synonym_expansion(tiny):
     # without synonyms, "fruit" matches nothing
     assert _convs(tiny, "fruit") == []
