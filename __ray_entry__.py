@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_topk": similarity.cosine_topk,
         "lsh_cosine_topk": similarity.lsh_cosine_topk,
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
+        "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         # text analysis
         "token_stats": text_analysis.token_stats,
         "quality_score": text_analysis.quality_score,

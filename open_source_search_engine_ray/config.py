@@ -63,6 +63,17 @@ class IndexConfig:
     index_bigrams: bool = True
     # cap on positions stored per (term, doc) — wide-row guard
     max_positions_per_doc: int = 256
+    # doc-partitioned build (the 10^11-doc path): EVERY term's postings are
+    # split by doc % num_salts, so shard = (term % P) * S + doc % S and the
+    # per-shard encode task only needs the doc-length partition for its
+    # salt — the whole-corpus (doc_id, dl) broadcast disappears.  Hot-term
+    # sampling is skipped (universal salting already splits the Zipf head).
+    # Query-side merges S splits per term via the tested salting machinery.
+    # Off by default: the broadcast fast path wins below ~100M docs.
+    salt_all_terms: bool = False
+    # sub-partitions per salt for the on-disk dl table (scale knob: each
+    # dl file holds N / (num_salts * dl_subparts) docs)
+    dl_subparts: int = 1
     # "spill": stateful actor-pool segment writers spill shard-sorted runs,
     # per-shard merge tasks encode (LSM dump/merge analogue — scales with
     # CPUs).  "groupby": ray.data groupby(shard).map_groups (object-store

@@ -98,12 +98,37 @@ def estimate_hot_terms(transcripts_ds, config: IndexConfig,
                        sample_turns: int = 8_000) -> np.ndarray:
     """Sample-based hot-term detection for salted repartitioning.
 
-    The Zipf head is stable under a prefix sample; a term is "hot" when it
-    occurs in more than ``hot_df_ratio`` of sampled turns (the analogue of
-    the reference's 30MB termlist cap + high-frequency-term shortcuts,
-    ``PosdbTable.cpp:1975-1981``, ``HighFrequencyTermShortcuts.h``).
+    A term is "hot" when it occurs in more than ``hot_df_ratio`` of
+    sampled turns (the analogue of the reference's 30MB termlist cap +
+    high-frequency-term shortcuts, ``PosdbTable.cpp:1975-1981``,
+    ``HighFrequencyTermShortcuts.h``).  The sample pulls from a seeded
+    random permutation of the input blocks — a metadata-only shuffle, so
+    only ~sample_turns rows are read — rather than a prefix, which on a
+    time-ordered corpus would mis-identify the head (a term hot only in
+    the corpus tail is still caught when its blocks are drawn).
     """
-    batch = transcripts_ds.take_batch(sample_turns, batch_format="pyarrow")
+    from ..functions.ghash import hash64_batch
+
+    n_rows = transcripts_ds.count()  # metadata-cheap for parquet sources
+    mod = int(np.clip(n_rows // max(1, sample_turns), 1, 16))
+
+    def thin(b: pa.Table) -> pa.Table:
+        # deterministic 1/mod row sample keyed on (conv_id, turn_idx) —
+        # independent of batch/block boundaries, so the sample is stable
+        # across parallelism levels; mod grows with the corpus so the
+        # sample spans ~mod× more blocks than a prefix would
+        keys = [f"{c}\x1f{t}".encode() for c, t in
+                zip(b["conv_id"].to_pylist(), b["turn_idx"].to_pylist())]
+        keep = hash64_batch(keys) % np.uint64(mod) == 0
+        return b.filter(pa.array(keep))
+
+    ds = transcripts_ds.randomize_block_order(seed=0xB10C)
+    if mod > 1:
+        ds = ds.map_batches(thin, batch_format="pyarrow")
+    try:
+        batch = ds.take_batch(sample_turns, batch_format="pyarrow")
+    except ValueError:   # empty dataset
+        return np.zeros(0, dtype=np.uint64)
     texts = [t or "" for t in batch["text"].to_pylist()]
     if not texts:
         return np.zeros(0, dtype=np.uint64)
@@ -134,7 +159,7 @@ def _make_segment_group_fn(out_dir: str, config: IndexConfig, avgdl: float,
                           "skipped": pa.array([True], pa.bool_())})
         if shard in done:
             return empty
-        salt = (shard - p) % s if shard >= p else 0
+        salt = _salt_of_shard(shard, config)
         seg = encode_shard(batch, config, salt, avgdl)
         path = mf.segment_path(out_dir, shard, generation)
         write_segment(seg, path)
@@ -143,7 +168,7 @@ def _make_segment_group_fn(out_dir: str, config: IndexConfig, avgdl: float,
                           n_terms=seg.num_rows, n_postings=n_postings,
                           bytes_written=os.path.getsize(path),
                           wall_sec=time.time() - t0,
-                          salt=salt if shard >= p else None,
+                          salt=salt if (config.salt_all_terms or shard >= p) else None,
                           generation=generation)
         return pa.table({"shard": pa.array([shard], pa.int32()),
                          "n_terms": pa.array([seg.num_rows], pa.int64()),
@@ -153,20 +178,54 @@ def _make_segment_group_fn(out_dir: str, config: IndexConfig, avgdl: float,
     return build_group
 
 
+def _salt_of_shard(shard: int, config: IndexConfig) -> int:
+    if config.salt_all_terms:
+        return shard % config.num_salts
+    p, s = config.num_partitions, config.num_salts
+    return (shard - p) % s if shard >= p else 0
+
+
+def _load_dl_partition(dl_dir: str, salt: int,
+                       config: IndexConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Load the (sorted doc_ids, float32 dl) slice for one salt from the
+    partitioned dl store — 1/num_salts of the corpus' doc lengths."""
+    import pyarrow.parquet as pq
+
+    k = config.dl_subparts
+    parts = []
+    for sub in range(k):
+        path = os.path.join(dl_dir, f"dl-{salt * k + sub:05d}.parquet")
+        if os.path.exists(path):
+            parts.append(pq.read_table(path))
+    if not parts:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.float32)
+    tbl = pa.concat_tables(parts)
+    ids = tbl["doc_id"].to_numpy().astype(np.uint64)
+    vals = tbl["dl"].to_numpy().astype(np.float32)
+    order = np.argsort(ids)
+    return ids[order], vals[order]
+
+
 def _encode_shard_chunk(run_files: list[str], shards: list[int],
                         out_dir: str, config: IndexConfig, avgdl: float,
                         fingerprint: str, dl) -> list[dict]:
     """Merge+encode a chunk of shards from the spilled runs (one Ray task;
-    the ``RdbMerge``/``posdbMerge_r`` analogue).  ``dl`` is the broadcast
-    (sorted doc_ids, float32 dl) pair; doc lengths are attached here because
-    the fused spill pass ran before they were known."""
-    from ..stages.spill import read_shard_range
+    the ``RdbMerge``/``posdbMerge_r`` analogue).  ``dl`` is either the
+    broadcast (sorted doc_ids, float32 dl) pair, or — doc-partitioned mode
+    — ``("parts", dl_dir, salt)``: the task loads ONLY its salt's dl
+    partition (1/S of the corpus), because every doc in its shards
+    satisfies doc % S == salt.  Doc lengths are attached here because the
+    fused spill pass ran before they were known."""
+    from ..stages.spill import read_shards
     from .segments import encode_shard, write_segment
 
-    dl_ids, dl_vals = dl
+    if isinstance(dl, tuple) and len(dl) == 3 and dl[0] == "parts":
+        dl_ids, dl_vals = _load_dl_partition(dl[1], dl[2], config)
+    else:
+        dl_ids, dl_vals = dl
     p, s = config.num_partitions, config.num_salts
     out = []
-    by_shard = read_shard_range(run_files, min(shards), max(shards))
+    by_shard = read_shards(run_files, shards)
     for shard in shards:
         t0 = time.time()
         tbl = by_shard.get(shard)
@@ -178,12 +237,12 @@ def _encode_shard_chunk(run_files: list[str], shards: list[int],
             vals[dl_ids[idx] != doc] = np.float32(0.0)
             tbl = tbl.set_column(tbl.schema.get_field_index("dl"), "dl",
                                  pa.array(vals, pa.float32()))
-        salt = (shard - p) % s if shard >= p else 0
+        salt = _salt_of_shard(shard, config)
         if tbl is None:
             mf.write_manifest(out_dir, shard, fingerprint=fingerprint,
                               n_terms=0, n_postings=0, bytes_written=0,
                               wall_sec=time.time() - t0,
-                              salt=salt if shard >= p else None)
+                              salt=salt if (config.salt_all_terms or shard >= p) else None)
             out.append({"shard": shard, "n_terms": 0, "n_postings": 0,
                         "skipped": False})
             continue
@@ -195,10 +254,77 @@ def _encode_shard_chunk(run_files: list[str], shards: list[int],
                           n_terms=seg.num_rows, n_postings=n_postings,
                           bytes_written=os.path.getsize(path),
                           wall_sec=time.time() - t0,
-                          salt=salt if shard >= p else None)
+                          salt=salt if (config.salt_all_terms or shard >= p) else None)
         out.append({"shard": shard, "n_terms": seg.num_rows,
                     "n_postings": n_postings, "skipped": False})
     return out
+
+
+def _write_doc_stats_partitioned(stats_src_dir: str, out_dir: str,
+                                 config: IndexConfig) -> tuple[int, int]:
+    """Distributed doc-stats path (salt_all_terms mode): aggregate the
+    writers' on-disk partials per doc with a Ray groupby (nothing pandas
+    on the driver), write the docstats table via ``write_parquet``, and
+    write the per-(salt, subpart) dl files the encode tasks read.
+    Returns (n_docs, total_dlq)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Min, Sum
+
+    wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
+                    dtype=np.int64)
+    ds = ray.data.read_parquet(stats_src_dir)
+    aggs = [Min("conv_id", alias_name="conv_id")]
+    aggs += [Sum(f"len_f{f}", alias_name=f"len_f{f}")
+             for f in range(NUM_FIELDS)]
+    per_doc = ds.groupby("doc_id").aggregate(*aggs)
+
+    def add_dlq(b: pa.Table) -> pa.Table:
+        lens = np.stack([b[f"len_f{f}"].to_numpy()
+                         for f in range(NUM_FIELDS)], axis=1)
+        return b.append_column("dl_q", pa.array(lens @ wq, pa.int64()))
+
+    per_doc = per_doc.map_batches(add_dlq,
+                                  batch_format="pyarrow").materialize()
+    ds_dir = os.path.join(out_dir, "docstats")
+    shutil.rmtree(ds_dir, ignore_errors=True)
+    per_doc.write_parquet(ds_dir)
+
+    s, k = config.num_salts, config.dl_subparts
+    dl_dir = os.path.join(out_dir, "dlparts")
+    shutil.rmtree(dl_dir, ignore_errors=True)
+    os.makedirs(dl_dir, exist_ok=True)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy().astype(np.uint64)
+        part = ((doc % np.uint64(s)).astype(np.int64) * k
+                + ((doc // np.uint64(s)) % np.uint64(k)).astype(np.int64))
+        return pa.table({"doc_id": b["doc_id"], "dl_q": b["dl_q"],
+                         "part": pa.array(part, pa.int64())})
+
+    def write_part(g) -> "pa.Table":
+        part = int(g["part"][0].as_py())
+        doc = g["doc_id"].to_numpy().astype(np.uint64)
+        order = np.argsort(doc)
+        dl32 = (g["dl_q"].to_numpy().astype(np.float64) / 4.0).astype(
+            np.float32)
+        path = os.path.join(dl_dir, f"dl-{part:05d}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(doc[order], pa.uint64()),
+            "dl": pa.array(dl32[order], pa.float32()),
+        }), path + ".writing")
+        os.replace(path + ".writing", path)
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "rows": pa.array([len(doc)], pa.int64())})
+
+    (per_doc.map_batches(add_part, batch_format="pyarrow")
+     .groupby("part").map_groups(write_part, batch_format="pyarrow")
+     .materialize())
+    agg = per_doc.aggregate(Sum("dl_q", alias_name="total_dlq"),
+                            Count(alias_name="n_docs"))
+    return int(agg["n_docs"]), int(agg["total_dlq"])
 
 
 def _build_fused_spill(transcripts_ds_factory, out_dir: str,
@@ -217,14 +343,21 @@ def _build_fused_spill(transcripts_ds_factory, out_dir: str,
     cpus = int(ray.cluster_resources().get("CPU", 8))
 
     t = time.time()
-    hot_terms = estimate_hot_terms(transcripts_ds_factory(), config)
+    if config.salt_all_terms:
+        # universal doc-salting already splits the Zipf head — no sampling
+        hot_terms = np.zeros(0, dtype=np.uint64)
+    else:
+        hot_terms = estimate_hot_terms(transcripts_ds_factory(), config)
     hot_ref = ray.put(hot_terms)
     phase_sec["hot_sample"] = round(time.time() - t, 3)
 
     done = frozenset(mf.completed_shards(out_dir, fingerprint)
                      if resume else ())
-    all_shards = list(range(config.num_partitions +
-                            len(hot_terms) * config.num_salts))
+    if config.salt_all_terms:
+        all_shards = list(range(config.num_partitions * config.num_salts))
+    else:
+        all_shards = list(range(config.num_partitions +
+                                len(hot_terms) * config.num_salts))
     docstore_done = resume and _stage_complete(out_dir, "docstore",
                                                fingerprint)
     if (resume and not [sh for sh in all_shards if sh not in done]
@@ -251,10 +384,14 @@ def _build_fused_spill(transcripts_ds_factory, out_dir: str,
     # writers reserve 0.7 CPU each (spill.py); keep ≥1 full CPU free or the
     # upstream read tasks can never schedule and the split pull deadlocks
     num_writers = min(cpus, max(1, int((cpus - 1) / 0.7)))
+    stats_src = (os.path.join(out_dir, "tmp_stats")
+                 if config.salt_all_terms else None)
+    if stats_src:
+        shutil.rmtree(stats_src, ignore_errors=True)
     run_files, stats_df, spill_timings = spill_postings(
         transcripts_ds_factory(), spill_dir,
         store_dir if (write_docstore and not docstore_done) else None,
-        config, hot_ref, num_writers)
+        config, hot_ref, num_writers, stats_dir=stats_src)
     if write_docstore and not docstore_done:
         _mark_stage(out_dir, "docstore", fingerprint)
     phase_sec["spill"] = round(time.time() - t, 3)
@@ -263,27 +400,38 @@ def _build_fused_spill(transcripts_ds_factory, out_dir: str,
 
     # doc stats from the spill pass's partials
     t = time.time()
-    import pyarrow.parquet as pq
+    if config.salt_all_terms:
+        # distributed aggregate + partitioned dl store; no driver pandas,
+        # no whole-corpus broadcast
+        n_docs, total_dlq = _write_doc_stats_partitioned(
+            stats_src, out_dir, config)
+        shutil.rmtree(stats_src, ignore_errors=True)
+        _mark_stage(out_dir, "docstats", fingerprint)
+        avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(n_docs))
+        dl_ref = None
+        dl_dir = os.path.join(out_dir, "dlparts")
+    else:
+        import pyarrow.parquet as pq
 
-    wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
-                    dtype=np.int64)
-    lens = stats_df[[f"len_f{f}" for f in range(NUM_FIELDS)]].to_numpy()
-    stats_df = stats_df.assign(dl_q=lens @ wq)
-    ds_dir = os.path.join(out_dir, "docstats")
-    shutil.rmtree(ds_dir, ignore_errors=True)
-    os.makedirs(ds_dir, exist_ok=True)
-    pq.write_table(pa.Table.from_pandas(stats_df, preserve_index=False),
-                   os.path.join(ds_dir, "part-0.parquet"))
-    _mark_stage(out_dir, "docstats", fingerprint)
-    doc_ids = stats_df["doc_id"].to_numpy().astype(np.uint64)
-    order = np.argsort(doc_ids)
-    doc_ids_sorted = doc_ids[order]
-    dl_q = stats_df["dl_q"].to_numpy().astype(np.int64)
-    dl32 = (dl_q[order].astype(np.float64) / 4.0).astype(np.float32)
-    n_docs = len(doc_ids_sorted)
-    total_dlq = int(dl_q.sum())
-    avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(n_docs))
-    dl_ref = ray.put((doc_ids_sorted, dl32))
+        wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
+                        dtype=np.int64)
+        lens = stats_df[[f"len_f{f}" for f in range(NUM_FIELDS)]].to_numpy()
+        stats_df = stats_df.assign(dl_q=lens @ wq)
+        ds_dir = os.path.join(out_dir, "docstats")
+        shutil.rmtree(ds_dir, ignore_errors=True)
+        os.makedirs(ds_dir, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(stats_df, preserve_index=False),
+                       os.path.join(ds_dir, "part-0.parquet"))
+        _mark_stage(out_dir, "docstats", fingerprint)
+        doc_ids = stats_df["doc_id"].to_numpy().astype(np.uint64)
+        order = np.argsort(doc_ids)
+        doc_ids_sorted = doc_ids[order]
+        dl_q = stats_df["dl_q"].to_numpy().astype(np.int64)
+        dl32 = (dl_q[order].astype(np.float64) / 4.0).astype(np.float32)
+        n_docs = len(doc_ids_sorted)
+        total_dlq = int(dl_q.sum())
+        avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(n_docs))
+        dl_ref = ray.put((doc_ids_sorted, dl32))
     phase_sec["docstats_merge"] = round(time.time() - t, 3)
 
     # per-shard merge + encode
@@ -300,18 +448,35 @@ def _build_fused_spill(transcripts_ds_factory, out_dir: str,
         pending.sort()
         est = estimate_shard_rows(run_files, len(all_shards))
         target = max(1.0, est.sum() / (cpus * 2))
-        chunks, cur, cur_mass = [], [], 0.0
-        for sh in pending:
-            cur.append(sh)
-            cur_mass += est[sh]
-            if cur_mass >= target:
+
+        def _chunked(shards: list[int]) -> list[list[int]]:
+            chunks, cur, cur_mass = [], [], 0.0
+            for sh in shards:
+                cur.append(sh)
+                cur_mass += est[sh]
+                if cur_mass >= target:
+                    chunks.append(cur)
+                    cur, cur_mass = [], 0.0
+            if cur:
                 chunks.append(cur)
-                cur, cur_mass = [], 0.0
-        if cur:
-            chunks.append(cur)
+            return chunks
+
         task = ray.remote(num_cpus=1)(_encode_shard_chunk)
-        futs = [task.remote(run_files, chunk, out_dir, config, avgdl,
-                            fingerprint, dl_ref) for chunk in chunks if chunk]
+        futs = []
+        if config.salt_all_terms:
+            # salt-aligned chunks: a task's shards share one salt, so it
+            # loads exactly one dl partition (1/S of the corpus' lengths)
+            for salt in range(config.num_salts):
+                sub = [sh for sh in pending
+                       if sh % config.num_salts == salt]
+                for chunk in _chunked(sub):
+                    futs.append(task.remote(
+                        run_files, chunk, out_dir, config, avgdl,
+                        fingerprint, ("parts", dl_dir, salt)))
+        else:
+            futs = [task.remote(run_files, chunk, out_dir, config, avgdl,
+                                fingerprint, dl_ref)
+                    for chunk in _chunked(pending) if chunk]
         for res in ray.get(futs):
             summary.extend(res)
     shutil.rmtree(spill_dir, ignore_errors=True)

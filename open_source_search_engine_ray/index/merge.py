@@ -315,10 +315,12 @@ def _merge_normal_shard(gen_dirs: list[tuple[int, str]], shard: int,
         counts = np.concatenate(cnt_l)
         offs = np.concatenate([[0], np.cumsum(counts)])
         flat_s, offs_s = ragged_select(np.concatenate(fp_l), offs, order)
+        from .build import _salt_of_shard
+
         seg = encode_from_groups(
             term[order], docs[order], np.concatenate(gl)[order],
             np.concatenate(tf_l)[order], flat_s, np.diff(offs_s),
-            config, 0, avgdl)
+            config, _salt_of_shard(shard, config), avgdl)
         path = seg_path(new_dir, shard)
         write_segment(seg, path)
         n_terms, n_post = seg.num_rows, int(seg["df"].to_pandas().sum())
@@ -457,9 +459,10 @@ def compact_merge(out_dir: str) -> dict:
                                        "part-0.parquet"))
 
     p, s = cfg.num_partitions, cfg.num_salts
+    n_normal = p * s if cfg.salt_all_terms else p
     norm_task = ray.remote(num_cpus=1)(_merge_normal_shard)
     futs = [norm_task.remote(gen_dirs, sh, union_hot, tomb, cfg, avgdl,
-                             new_dir, fingerprint) for sh in range(p)]
+                             new_dir, fingerprint) for sh in range(n_normal)]
     hot_items = list(enumerate(int(t) for t in union_hot))
     hot_task = ray.remote(num_cpus=1)(_merge_hot_terms)
     chunk = max(1, len(hot_items) // 32) if hot_items else 1

@@ -86,7 +86,9 @@ class DistributedSearcher:
             _GenIndex(g["gen"], gen_dir(index_dir, g["gen"]))
             for g in sorted(gens_doc["generations"], key=lambda g: g["gen"])]
         max_shard = max(
-            g.p + len(g.hot_terms) * g.s for g in self._gens_meta)
+            (g.p * g.s if g.meta["config"].get("salt_all_terms")
+             else g.p + len(g.hot_terms) * g.s)
+            for g in self._gens_meta)
         self.n_servers = n_servers
         server_cls = ray.remote(num_cpus=0.5)(ShardServer)
         owned = [[s for s in range(max_shard) if s % n_servers == i]
@@ -150,8 +152,7 @@ class DistributedSearcher:
         import ray
 
         pq_ = parse_query(query, self.config.bigram_weight)
-        phrase_terms = {t for chain in pq_.phrases for t in chain}
-        phrase_terms |= {t for chain in pq_.neg_phrases for t in chain}
+        phrase_terms = pq_.position_term_ids()
         # fan out ALL term fetches concurrently (Msg2::getLists analogue)
         futures: dict[int, list] = {}
         for t in pq_.terms:

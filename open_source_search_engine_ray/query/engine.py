@@ -57,6 +57,9 @@ class _GenIndex:
 
     def shards_for_term(self, term_id: int) -> list[int]:
         t = np.uint64(term_id)
+        if self.meta["config"].get("salt_all_terms"):
+            base = int(t % np.uint64(self.p)) * self.s
+            return list(range(base, base + self.s))
         if len(self.hot_terms):
             i = int(np.searchsorted(self.hot_terms, t))
             if i < len(self.hot_terms) and self.hot_terms[i] == t:
@@ -175,8 +178,7 @@ class IndexSearcher:
         return tp
 
     def _lists_for(self, pq_: ParsedQuery) -> dict[int, TermPostings | None]:
-        phrase_terms = {t for chain in pq_.phrases for t in chain}
-        phrase_terms |= {t for chain in pq_.neg_phrases for t in chain}
+        phrase_terms = pq_.position_term_ids()
         lists: dict[int, TermPostings | None] = {}
         for t in pq_.terms:
             if t.term_id not in lists:
@@ -208,6 +210,27 @@ class IndexSearcher:
             prune = False
         return evaluate(pq_, lists, self.n_docs, self.avgdl, cfg, k,
                         prune=prune)
+
+    def search_page(self, query: str, k: int = 10, offset: int = 0,
+                    with_total: bool = False,
+                    synonyms: dict[str, list[str]] | None = None):
+        """Paginated search (``m_firstResultNum``/``m_docsWanted``,
+        ``SearchInput.h:177-178``): returns ``(doc_ids, scores, total)``
+        for result ranks [offset, offset+k).  Internally evaluates
+        top-(offset+k) — result-identical under pruning on/off, so page 2
+        is exactly rows k..2k of a deeper search.  ``with_total=True``
+        also returns the EXACT candidate-set size (the total-hits field of
+        every reference reply, ``Msg39.cpp:486-523``); it costs one
+        un-pruned candidate pass over the already-decoded lists."""
+        from .kernel import candidate_docs
+
+        pq_ = parse_query(query, self.config.bigram_weight,
+                          synonyms=synonyms)
+        lists = self._lists_for(pq_)
+        docs, scores = evaluate(pq_, lists, self.n_docs, self.avgdl,
+                                self.config, offset + k)
+        total = int(len(candidate_docs(pq_, lists))) if with_total else None
+        return docs[offset:offset + k], scores[offset:offset + k], total
 
     def search_table(self, query: str, k: int = 10) -> pa.Table:
         docs, scores = self.search(query, k)

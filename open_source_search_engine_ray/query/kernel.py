@@ -226,7 +226,7 @@ def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
     multi-term path re-scores surviving candidates in canonical expansion
     order so even the float accumulation matches."""
     if (prune and not query.phrases and not query.neg_phrases
-            and not query.or_groups):
+            and not query.or_groups and query.bool_tree is None):
         positives_all = [t for t in query.terms
                          if not t.negative and not t.is_bigram]
         if (len(query.terms) == 1 and len(positives_all) == 1):
@@ -254,6 +254,62 @@ def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
                                          config, k, wq)
     wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
                     dtype=np.int64)
+    cand = candidate_docs(query, lists)
+    return _score_candidates(query, lists, cand, n_docs, avgdl, config, k,
+                             wq)
+
+
+def _eval_tree(node, lists) -> np.ndarray:
+    """Evaluate a boolean expression tree → sorted unique docIds
+    (``Expression::isTruth``, ``Query.h:364`` — set algebra over the
+    decoded termlists instead of per-doc bit recursion)."""
+    kind = node[0]
+    if kind == "term":
+        tp = lists.get(node[1])
+        if tp is None:
+            return np.zeros(0, dtype=np.uint64)
+        if node[2] is not None:
+            return tp.doc_ids[tp.tfs[:, node[2]] > 0]
+        return tp.doc_ids
+    if kind == "phrase":
+        return _phrase_docs(node[1], lists)
+    if kind == "or":
+        arrs = [_eval_tree(c, lists) for c in node[1]]
+        arrs = [a for a in arrs if len(a)]
+        if not arrs:
+            return np.zeros(0, dtype=np.uint64)
+        return np.unique(np.concatenate(arrs))
+    if kind == "and":
+        pos, neg = node[1], node[2]
+        if not pos:
+            return np.zeros(0, dtype=np.uint64)  # pure-negative: no matches
+        units = sorted((_eval_tree(c, lists) for c in pos), key=len)
+        cand = units[0]
+        for d in units[1:]:
+            if len(cand) == 0:
+                return cand
+            cand = cand[in_sorted(cand, d)]
+        for c in neg:
+            nd = _eval_tree(c, lists)
+            if len(nd) and len(cand):
+                cand = cand[~in_sorted(cand, nd)]
+        return cand
+    if kind == "neg":   # bare top-level negation: matches nothing
+        return np.zeros(0, dtype=np.uint64)
+    raise ValueError(f"unknown tree node {kind!r}")
+
+
+def candidate_docs(query: ParsedQuery,
+                   lists: dict[int, TermPostings | None]) -> np.ndarray:
+    """EXACT candidate set of a query (sorted docIds): required-unit
+    intersection (or OR-union when nothing is required), negative-term
+    anti-join, positive/negative phrase filters.  This is the exact-path
+    candidate generator of :func:`evaluate`, also used standalone for the
+    total-hit count the reference returns with every reply
+    (``Msg39.cpp:486-523`` — exact here rather than estimated, since every
+    term's postings are already decoded in memory)."""
+    if query.bool_tree is not None:
+        return _eval_tree(query.bool_tree, lists)
 
     def docs_of(t) -> np.ndarray:
         tp = lists.get(t.term_id)
@@ -304,9 +360,7 @@ def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
         pd = _phrase_docs(chain, lists)
         if len(pd) and len(cand):
             cand = cand[~in_sorted(cand, pd)]
-
-    return _score_candidates(query, lists, cand, n_docs, avgdl, config, k,
-                             wq)
+    return cand
 
 
 def _score_candidates(query: ParsedQuery,

@@ -109,6 +109,18 @@ class OracleIndex:
         return evaluate(pq, lists, self.n_docs, self.avgdl, cfg, k,
                         prune=False)
 
+    def search_page(self, query: str, k: int = 10, offset: int = 0,
+                    with_total: bool = False):
+        """Mirror of IndexSearcher.search_page (same contract, exact path)."""
+        from .kernel import candidate_docs
+
+        pq = parse_query(query, self.config.bigram_weight)
+        lists = {t.term_id: self._lists.get(t.term_id) for t in pq.terms}
+        docs, scores = evaluate(pq, lists, self.n_docs, self.avgdl,
+                                self.config, offset + k, prune=False)
+        total = int(len(candidate_docs(pq, lists))) if with_total else None
+        return docs[offset:offset + k], scores[offset:offset + k], total
+
     def golden_topk(self, queries: list[tuple[str, str, int]]) -> pa.Table:
         """FIXTURES.md §3 golden_topk table."""
         out = {"query_id": [], "rank": [], "doc_id": [], "conv_id": [],

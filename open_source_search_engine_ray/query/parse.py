@@ -60,11 +60,186 @@ class ParsedQuery:
     # boolean OR units (Query.h:149-158 boolean-op analogue): each group is
     # a required disjunction — a candidate doc must match ≥1 alternative
     or_groups: list[list[int]] = field(default_factory=list)
+    # parenthesized boolean expression tree (Query.h:284,364
+    # Expression::isTruth analogue).  When set, the candidate set comes
+    # solely from evaluating this tree; terms/phrases only feed scoring
+    # and list fetching.  Nodes: ("term", term_id, field),
+    # ("phrase", [term_ids]), ("and", [pos...], [neg...]), ("or", [children])
+    bool_tree: tuple | None = None
+
+    def position_term_ids(self) -> set[int]:
+        """Term ids whose postings must be fetched WITH positions."""
+        ids = {t for chain in self.phrases for t in chain}
+        ids |= {t for chain in self.neg_phrases for t in chain}
+        if self.bool_tree is not None:
+            def walk(node):
+                if node[0] == "phrase":
+                    ids.update(node[1])
+                elif node[0] == "and":
+                    for c in node[1] + node[2]:
+                        walk(c)
+                elif node[0] == "or":
+                    for c in node[1]:
+                        walk(c)
+            walk(self.bool_tree)
+        return ids
 
 
 def _is_query_stop(token: str) -> bool:
     t = token.lower()
     return t in STOPWORDS or (len(t) == 1 and t.isalpha())
+
+
+def _parse_boolean_query(q: str) -> ParsedQuery:
+    """Full boolean expression trees for parenthesized queries
+    (``Query.h:284,364`` — ``Expression::isTruth`` over nested
+    AND/OR/NOT).  Grammar::
+
+        expr   := andseq (OR andseq)*
+        andseq := unary+            (adjacency = AND, like the reference)
+        unary  := '-' unary | atom
+        atom   := '(' expr ')' | "quoted phrase" | role:/tool: scope | word
+
+    Every positive leaf term scores (BM25F sum over present terms); terms
+    under a NOT never score.  Bigram boosts / synonyms / stopword
+    optionality don't apply inside boolean trees (the reference likewise
+    evaluates boolean queries as pure set expressions over termlists)."""
+    out = ParsedQuery(raw=q)
+    seen: set[int] = set()
+    quote_id = [0]
+
+    # --- lexer ---
+    toks: list[tuple[str, str]] = []   # (kind, text)
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+        elif c in "()":
+            toks.append((c, c))
+            i += 1
+        elif c == "-":
+            toks.append(("NOT", "-"))
+            i += 1
+        elif c == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                j = n
+            toks.append(("QUOTE", q[i + 1:j]))
+            i = j + 1
+        else:
+            j = i
+            while j < n and not q[j].isspace() and q[j] not in '()"':
+                j += 1
+            word = q[i:j]
+            i = j
+            if word == "OR":
+                toks.append(("OR", word))
+            elif word in ("AND", "&&"):
+                continue   # adjacency is already AND
+            else:
+                toks.append(("WORD", word))
+
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else (None, None)
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def leaf_terms(word: str, field_scope, negative: bool) -> list[tuple]:
+        nodes = []
+        wtoks, _, _ = tokenize(word)
+        for tok in wtoks:
+            tid = int(np.uint64(hash64_lower_utf8(tok)) & TERMID_MASK)
+            if tid not in seen:
+                seen.add(tid)
+                out.terms.append(QTerm(tok, tid, False, negative, False,
+                                       field_scope))
+            nodes.append(("term", tid, field_scope))
+        return nodes
+
+    def parse_atom(field_scope, negative):
+        kind, text = peek()
+        if kind == "(":
+            take()
+            node = parse_expr(field_scope, negative)
+            if peek()[0] == ")":
+                take()
+            return node
+        if kind == "QUOTE":
+            take()
+            wtoks, _, _ = tokenize(text)
+            chain = []
+            qid = quote_id[0]
+            quote_id[0] += 1
+            for tok in wtoks:
+                tid = int(np.uint64(hash64_lower_utf8(tok)) & TERMID_MASK)
+                if tid not in seen:
+                    seen.add(tid)
+                    out.terms.append(QTerm(tok, tid, False, negative, False,
+                                           field_scope, 1.0, qid))
+                chain.append(tid)
+            if len(chain) >= 2:
+                return ("phrase", chain)
+            return (("term", chain[0], field_scope) if chain
+                    else ("and", [], []))
+        if kind == "WORD":
+            take()
+            low = text.lower()
+            for fname in ("role", "tool"):
+                if low.startswith(fname + ":"):
+                    value = low[len(fname) + 1:]
+                    if fname == "role" and value in FIELD_NAMES:
+                        return ("scope", FIELD_NAMES[value])
+                    if fname == "tool":
+                        return ("scope", FIELD_NAMES["tool"])
+            nodes = leaf_terms(text, field_scope, negative)
+            if len(nodes) == 1:
+                return nodes[0]
+            return ("and", nodes, [])
+        take()   # stray ')' etc.
+        return ("and", [], [])
+
+    def parse_unary(field_scope, negative):
+        if peek()[0] == "NOT":
+            take()
+            inner = parse_unary(field_scope, not negative)
+            if inner[0] in ("neg", "scope"):   # --a == a; -role:x == role:x
+                return inner[1] if inner[0] == "neg" else inner
+            return ("neg", inner)
+        return parse_atom(field_scope, negative)
+
+    def parse_andseq(field_scope, negative):
+        pos_children, neg_children = [], []
+        scope = field_scope
+        while peek()[0] not in (None, ")", "OR"):
+            node = parse_unary(scope, negative)
+            if node[0] == "scope":
+                scope = node[1]
+                continue
+            if node[0] == "neg":
+                neg_children.append(node[1])
+            elif node != ("and", [], []):
+                pos_children.append(node)
+        if not neg_children and len(pos_children) == 1:
+            return pos_children[0]
+        return ("and", pos_children, neg_children)
+
+    def parse_expr(field_scope, negative):
+        children = [parse_andseq(field_scope, negative)]
+        while peek()[0] == "OR":
+            take()
+            children.append(parse_andseq(field_scope, negative))
+        if len(children) == 1:
+            return children[0]
+        return ("or", children)
+
+    out.bool_tree = parse_expr(None, False)
+    return out
 
 
 def parse_query(q: str, bigram_weight: float = 0.5,
@@ -73,7 +248,12 @@ def parse_query(q: str, bigram_weight: float = 0.5,
     """``synonyms`` (optional): token → alternatives, expanded as optional
     weighted terms for unquoted, unsigned, unfielded words of length > 1 —
     Appendix A class 3 (``Synonyms.cpp:53-140``, ``synonymWeight=0.9``
-    default ``Parms.cpp:3879-3886``).  Off by default."""
+    default ``Parms.cpp:3879-3886``).  Off by default.
+
+    A query containing parentheses routes to the boolean expression-tree
+    parser (:func:`_parse_boolean_query`)."""
+    if "(" in q:
+        return _parse_boolean_query(q)
     out = ParsedQuery(raw=q)
     # chunking: quotes, signs, field-scope directives
     i, n = 0, len(q)

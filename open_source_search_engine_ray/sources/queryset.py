@@ -26,6 +26,8 @@ QUERIES: list[tuple[str, str, int]] = [
     ("q0015", "tool:bash w0100", 10),       # tool-field query
     ("q0016", "cd-rom", 10),                # hyphenated bigram
     ("q0017", 'w0042 -"w0042 w0777"', 10),  # negated quoted phrase
+    ("q0018", "(w0042 OR w0777) -w0100", 10),   # boolean tree
+    ("q0019", '(w0042 w0777) OR "we\'re sure"', 10),  # nested bool + phrase
 ]
 
 

@@ -48,10 +48,14 @@ class SpillWriter:
     """Ray actor: consume one streaming split → runs + stats + docstore."""
 
     def __init__(self, writer_id: int, spill_dir: str, docstore_dir: str,
-                 config: IndexConfig, hot_ref):
+                 config: IndexConfig, hot_ref, stats_dir: str | None = None):
         self.writer_id = writer_id
         self.spill_dir = spill_dir
         self.docstore_dir = docstore_dir
+        # when set, the per-writer doc-stat partial is WRITTEN here instead
+        # of returned through the driver (the 10^11-doc path: partials never
+        # accumulate driver-side; a distributed aggregate merges them)
+        self.stats_dir = stats_dir
         self.tok = TokenizePostings(config, None, hot_ref)
         self.buf: list[pa.Table] = []
         self.buf_rows = 0
@@ -142,7 +146,8 @@ class SpillWriter:
             t_last = _time.time()
         self._flush_postings()
         self._flush_store()
-        # per-writer doc-stat partial aggregate (the driver tree-merges)
+        # per-writer doc-stat partial aggregate (the driver tree-merges,
+        # or — stats_dir set — a distributed aggregate reads it from disk)
         if self.stat_parts:
             df = pa.concat_tables(self.stat_parts).to_pandas()
             agg = {f"len_f{f}": "sum" for f in range(NUM_FIELDS)}
@@ -151,19 +156,28 @@ class SpillWriter:
             stats_tbl = pa.Table.from_pandas(stats, preserve_index=False)
         else:
             stats_tbl = None
+        if self.stats_dir is not None and stats_tbl is not None:
+            os.makedirs(self.stats_dir, exist_ok=True)
+            path = os.path.join(self.stats_dir,
+                                f"stats-{self.writer_id:03d}.parquet")
+            pq.write_table(stats_tbl, path + ".writing")
+            os.replace(path + ".writing", path)
+            stats_tbl = None
         return self.files, stats_tbl, dict(self.timings)
 
 
 def spill_postings(transcripts_ds, spill_dir: str, docstore_dir: str,
                    config: IndexConfig, hot_ref,
-                   num_writers: int):
-    """Run the fused actor pool → (run files, merged doc-stats DataFrame)."""
+                   num_writers: int, stats_dir: str | None = None):
+    """Run the fused actor pool → (run files, merged doc-stats DataFrame —
+    or None when ``stats_dir`` routes the partials to disk)."""
     import ray
 
     # fractional reservation: writers overlap their own IO waits and leave
     # scheduler room for the upstream read tasks
     writer_cls = ray.remote(num_cpus=0.7)(SpillWriter)
-    writers = [writer_cls.remote(i, spill_dir, docstore_dir, config, hot_ref)
+    writers = [writer_cls.remote(i, spill_dir, docstore_dir, config, hot_ref,
+                                 stats_dir)
                for i in range(num_writers)]
     splits = transcripts_ds.streaming_split(num_writers, equal=False)
     futs = [w.consume.remote(s) for w, s in zip(writers, splits)]
@@ -178,7 +192,7 @@ def spill_postings(transcripts_ds, spill_dir: str, docstore_dir: str,
             timings[k] += v
     for w in writers:
         ray.kill(w)
-    merged = _merge_doc_stats(stat_tables)
+    merged = _merge_doc_stats(stat_tables) if stats_dir is None else None
     return files, merged, timings
 
 
@@ -228,14 +242,20 @@ def estimate_shard_rows(run_files: list[str],
 
 def read_shard_range(run_files: list[str], lo: int,
                      hi: int) -> dict[int, pa.Table]:
-    """Zero-copy (mmap) read of the record batches for shards in [lo, hi]
+    """Contiguous-range convenience wrapper over :func:`read_shards`."""
+    return read_shards(run_files, range(lo, hi + 1))
+
+
+def read_shards(run_files: list[str], shards) -> dict[int, pa.Table]:
+    """Zero-copy (mmap) read of the record batches for the given shard set
     from every run, grouped per shard.  Each batch holds exactly one
     shard's rows, so no filtering or re-sorting is needed."""
+    want = frozenset(shards)
     per_shard: dict[int, list[pa.Table]] = {}
     for path in run_files:
         idx = _run_index(path)
         wanted = [(bi, sh) for bi, sh in enumerate(idx["shards"])
-                  if lo <= sh <= hi]
+                  if sh in want]
         if not wanted:
             continue
         # NOTE: the map must stay open while the zero-copy tables are in

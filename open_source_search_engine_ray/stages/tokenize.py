@@ -125,6 +125,11 @@ class TokenizePostings:
     def _shards(self, term_ids: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
         cfg = self.config
         p = np.int32(cfg.num_partitions)
+        if cfg.salt_all_terms:
+            # doc-partitioned layout: (term % P) * S + doc % S
+            return ((term_ids % np.uint64(cfg.num_partitions)).astype(np.int32)
+                    * np.int32(cfg.num_salts)
+                    + (doc_ids % np.uint64(cfg.num_salts)).astype(np.int32))
         shard = (term_ids % np.uint64(cfg.num_partitions)).astype(np.int32)
         if len(self.hot_terms):
             hidx = np.searchsorted(self.hot_terms, term_ids)

@@ -221,3 +221,66 @@ def test_field_weight_override(built_index, oracle):
     d_def, s_def = se.search("roleonlyterm_assistant", 5)
     d_b, s_b = se.search("roleonlyterm_assistant", 5, field_weights=boost)
     assert len(s_b) and s_b[0] > s_def[0]
+
+
+def test_doc_partitioned_build(oracle, ray_session):
+    """salt_all_terms (the 10^11-doc path): every term split by doc % S, dl
+    attached from per-salt partition files — no whole-corpus broadcast, no
+    driver-side doc-stats merge — with exact rank identity vs the oracle."""
+    import os
+
+    idx = IDX + "_saltall"
+    shutil.rmtree(idx, ignore_errors=True)
+    cfg = IndexConfig(salt_all_terms=True, num_salts=4)
+    meta = build_index(lambda: transcripts_dataset(N_CONV), idx, cfg,
+                       input_token=f"synthetic:n={N_CONV}")
+    assert meta["hot_terms"] == []           # universal salting, no sampling
+    assert len(meta["built_shards"]) == cfg.num_partitions * cfg.num_salts
+    assert os.path.isdir(os.path.join(idx, "dlparts"))
+    se = IndexSearcher(idx)
+    assert se.n_docs == oracle.n_docs and se.avgdl == oracle.avgdl
+    for qid, q, k in query_set():
+        d1, s1 = se.search(q, k)
+        d2, s2 = oracle.search(q, k)
+        assert list(d1) == list(d2) and list(s1) == list(s2), qid
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_hot_sampling_covers_corpus_tail(ray_session):
+    """Hot-term estimation samples from a seeded random block permutation
+    with row thinning — a term hot only in the corpus TAIL is still
+    detected (the round-1 prefix take_batch missed it), deterministically."""
+    import ray.data
+
+    from open_source_search_engine_ray.functions.ghash import (
+        TERMID_MASK, hash64_lower_utf8)
+    from open_source_search_engine_ray.index.build import estimate_hot_terms
+
+    rows = []
+    for i in range(50_000):
+        txt = ("common filler words here" if i < 45_000
+               else "tailhot tailhot marker")
+        rows.append({"conv_id": f"c{i}", "turn_idx": 0, "role": "user",
+                     "text": txt, "tool": None})
+    ds = ray.data.from_items(rows).repartition(20)
+    hot = estimate_hot_terms(ds, IndexConfig())
+    tid = int(np.uint64(hash64_lower_utf8("tailhot")) & TERMID_MASK)
+    assert tid in set(int(t) for t in hot)
+    hot2 = estimate_hot_terms(ds, IndexConfig())
+    assert set(map(int, hot)) == set(map(int, hot2))  # seeded → stable
+
+
+def test_pagination_and_total_hits(built_index, oracle):
+    """search_page: page 2 equals rows 11-20 of a k=20 search (identical
+    under pruning — engine prunes, oracle doesn't), and with_total returns
+    the exact candidate count (Msg39 total-hits analogue)."""
+    se = IndexSearcher(IDX)
+    for q in ("the", "w0042 w0777", '"w0042 w0777"', "w0002"):
+        d20, s20, tot = se.search_page(q, 20, 0, with_total=True)
+        d2, s2, _ = se.search_page(q, 10, offset=10)
+        assert list(d2) == list(d20[10:20]) and list(s2) == list(s20[10:20])
+        od, osc, otot = oracle.search_page(q, 20, 0, with_total=True)
+        assert list(d20) == list(od) and list(s20) == list(osc)
+        assert tot == otot
+        dall, _, _ = se.search_page(q, 10 ** 6)
+        assert tot == len(dall), q  # total == number of all matches

@@ -125,3 +125,22 @@ def test_synonym_expansion(tiny):
     via_syn = {tiny.doc_to_conv[int(d)]: s for d, s in zip(docs, scores)}
     for c in ("A", "D"):
         assert abs(via_syn[c] - 0.9 * direct[c]) < 1e-12
+
+
+def test_boolean_tree_queries(tiny):
+    # parenthesized boolean expressions (Expression::isTruth analogue)
+    assert _convs(tiny, "(banana OR cherry) -apple") == ["C", "D"]
+    assert _convs(tiny, "apple (banana OR cherry)") == ["A", "B"]
+    assert _convs(tiny, "(apple banana) OR (cherry date)") == ["A", "C"]
+    assert _convs(tiny, "apple -(banana OR cherry)") == ["E"]
+    assert _convs(tiny, "((apple OR date) -banana)") == ["B", "C", "E"]
+    # phrase leaf inside a boolean expression
+    assert _convs(tiny, '("apple banana") OR date') == ["A", "C"]
+    # field scope inside the tree
+    assert _convs(tiny, "(role:user banana) OR date") == ["A", "C"]
+    # terms under NOT don't score: same scores as the plain positive query
+    d1, s1 = tiny.search("apple -(banana OR cherry)", 10)
+    d2, s2 = tiny.search("apple", 10)
+    m2 = {int(d): s for d, s in zip(d2, s2)}
+    for d, s in zip(d1, s1):
+        assert abs(m2[int(d)] - s) < 1e-12
