@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             transcripts_flagship.transcripts_index_manifests,
         "transcripts_search_snippets":
             transcripts_flagship.transcripts_search_snippets,
+        "transcripts_search_snippets_dedup":
+            transcripts_flagship.transcripts_search_snippets_dedup,
         # document search with SQL-replicable semantics
         "bm25_topk_docs": doc_search.bm25_topk_docs,
         "engine_bm25_docs": engine_docs.engine_bm25_docs,
@@ -72,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / streaming
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
+        "parts_profit_by_nation": relational.parts_profit_by_nation,
         "events_hourly_window": relational.events_hourly_window,
         "events_sessionize": relational.events_sessionize,
     }
@@ -93,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_pricing_summary":
             relational.lineitem_pricing_summary_sql(),
         "orders_by_nation": relational.orders_by_nation_sql(),
+        "parts_profit_by_nation": relational.parts_profit_by_nation_sql(),
         "events_hourly_window": relational.events_hourly_window_sql(),
         "events_sessionize": relational.events_sessionize_sql(),
     }

@@ -93,6 +93,10 @@ def run_headline(sf_dir: str, num_cpus: int, full: bool = True,
         statistics.median(lat_warm.values()) * 1000, 2)
     out["query_p95_warm_ms"] = round(
         sorted(lat_warm.values())[int(0.95 * (len(lat_warm) - 1))] * 1000, 2)
+    # the historical worst case: uniform stopword disjunction (impact-
+    # ordered union path; was 652 ms at 5.2M turns in round 1)
+    out["worst_stopword_query_warm_ms"] = round(
+        lat_warm.get("q0004", 0.0) * 1000, 2)
 
     # batch throughput (all queries through the distributed actor pool)
     t0 = time.time()
@@ -114,8 +118,89 @@ def run_headline(sf_dir: str, num_cpus: int, full: bool = True,
                 res.to_pandas()
             out[f"{name}_sec"] = round(time.time() - t0, 3)
 
+        # near-dup pair generation under an INJECTED HOT SHINGLE (the
+        # skew case that made the round-1 pair join quadratic): 20k docs
+        # share a boilerplate sentence; cost must stay bounded
+        t0 = time.time()
+        n_pairs = _hot_shingle_bench(20_000)
+        out["jaccard_hot_shingle_20k_sec"] = round(time.time() - t0, 3)
+        out["jaccard_hot_shingle_pairs"] = n_pairs
+
+        # segment-level compaction vs fresh build: append a generation,
+        # tombstone some docs, compact_merge — target ~2× of fresh build
+        from open_source_search_engine_ray.index.merge import (
+            add_documents, compact_merge, delete_convs)
+        from open_source_search_engine_ray.sources.transcripts import (
+            transcripts_dataset_range)
+
+        t0 = time.time()
+        add_documents(idx_dir,
+                      lambda: transcripts_dataset_range(n_conv, n_conv + 2000),
+                      input_token=f"bench:add:{n_conv}")
+        out["incremental_add_2k_sec"] = round(time.time() - t0, 3)
+        delete_convs(idx_dir, [f"conv-{i:08d}" for i in range(50)])
+        t0 = time.time()
+        compact_merge(idx_dir)
+        out["compact_merge_sec"] = round(time.time() - t0, 3)
+        out["compact_vs_build_ratio"] = round(
+            out["compact_merge_sec"] / build_sec, 3)
+
+        # doc-partitioned build mode (salt_all_terms — the 10^11-doc path:
+        # no dl broadcast, per-salt dl partition files)
+        sa_dir = idx_dir + "_saltall"
+        shutil.rmtree(sa_dir, ignore_errors=True)
+        t0 = time.time()
+        build_index(factory, sa_dir, IndexConfig(salt_all_terms=True),
+                    input_token=f"bench:saltall:n={n_conv}")
+        out["saltall_build_sec"] = round(time.time() - t0, 3)
+        se_sa = IndexSearcher(sa_dir)
+        reps = []
+        for _ in range(3):
+            t = time.time()
+            se_sa.search("w0042 w0777", 10)
+            reps.append(time.time() - t)
+        out["saltall_query_warm_ms"] = round(min(reps) * 1000, 2)
+        shutil.rmtree(sa_dir, ignore_errors=True)
+
     ray.shutdown()
     return out
+
+
+def _hot_shingle_bench(n_docs: int) -> int:
+    """Injected hot-shingle corpus: every doc shares a boilerplate
+    sentence (shingle df = n_docs) plus a unique tail; a few planted
+    near-dup pairs.  Returns the pair count."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from open_source_search_engine_ray.pipelines import dedup
+
+    root = f"/tmp/osse_hotshingle/n{n_docs}"
+    path = os.path.join(root, "documents.parquet")
+    if not os.path.exists(path):
+        os.makedirs(root, exist_ok=True)
+        boiler = ("this transcript is provided as is without warranty "
+                  "of any kind either express or implied")
+        rng = np.random.default_rng(7)
+        texts, ids = [], []
+        for i in range(n_docs):
+            tail = " ".join(f"tok{rng.integers(0, 50_000):05d}"
+                            for _ in range(12))
+            texts.append(f"{boiler} {tail}")
+            ids.append(i)
+        for j in range(50):  # planted near-dup pairs
+            ids.append(n_docs + 2 * j)
+            texts.append(f"planted duplicate pair number {j} "
+                         "alpha beta gamma delta epsilon zeta")
+            ids.append(n_docs + 2 * j + 1)
+            texts.append(f"planted duplicate pair number {j} "
+                         "alpha beta gamma delta epsilon eta")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }), path)
+    return dedup.ngram_jaccard_pairs(root).count()
 
 
 def main() -> None:

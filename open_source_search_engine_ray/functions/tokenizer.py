@@ -165,7 +165,12 @@ def _scan_unicode(text: str) -> tuple[list[str], list[bool], list[int]]:
                 i += 1
             if (i < n and text[i] == "," and 1 <= i - j <= 3
                     and text[j:i].isdigit()):
-                while (text[i:i + 1] == "," and text[i + 1:i + 4].isdigit()
+                # a group is EXACTLY 3 digits (Words.cpp:295-310) — the
+                # len check matters at end-of-string where a short slice
+                # like "0" would still pass .isdigit()
+                while (text[i:i + 1] == ","
+                       and len(text[i + 1:i + 4]) == 3
+                       and text[i + 1:i + 4].isdigit()
                        and not text[i + 4:i + 5].isdigit()):
                     i += 4
             if (i < n and text[i] == "." and i > j and text[i - 1].isdigit()

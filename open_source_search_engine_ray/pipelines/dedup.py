@@ -113,6 +113,57 @@ def _exploded_shingle_hashes(sf_dir: str):
     return _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow")
 
 
+_T = JACCARD_THRESHOLD
+_EMPTY_PAIRS = {"doc_a": np.int64, "doc_b": np.int64}
+
+
+def _positional_filtered_pairs(group: pa.Table) -> pa.Table:
+    """Candidate pairs within one prefix-shingle group, pruned by the
+    PPJoin positional filter: a pair (A, B) sharing this shingle at
+    positions (p_A, p_B) of their df-sorted orders can reach |A∩B| ≥
+    α = ⌈t/(1+t)·(|A|+|B|)⌉ only if min(|A|-p_A, |B|-p_B) ≥ α — the bound
+    is tight at the pair's SMALLEST common shingle, which the prefix lemma
+    guarantees is examined, so completeness holds while boilerplate-heavy
+    groups (hot shingle in every prefix, short unique tails) collapse to
+    zero BEFORE any O(n²) pair materialization: first a per-doc filter
+    (rem_i ≥ α against the group's smallest partner), then the pairwise
+    mask inside blocked triu generation."""
+    docs = group["doc_id"].to_numpy()
+    n = group["n"].to_numpy().astype(np.int64)
+    rem = n - group["p"].to_numpy().astype(np.int64)
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+    if len(docs) < 2:
+        return empty
+    # per-doc necessary condition vs the group's most favorable partner
+    nmin = int(n.min())
+    keep = rem >= np.ceil(_T / (1 + _T) * (n + nmin))
+    docs, n, rem = docs[keep], n[keep], rem[keep]
+    if len(docs) < 2:
+        return empty
+    order = np.argsort(docs)
+    docs, n, rem = docs[order], n[order], rem[order]
+    outs_a, outs_b = [], []
+    m = len(docs)
+    for s in range(0, m, PAIR_BLOCK):
+        e = min(s + PAIR_BLOCK, m)
+        ii, jj = np.triu_indices(e - s, k=1)
+        ii = ii + s
+        jj = jj + s
+        if len(docs) > e:
+            rest = np.arange(e, m)
+            ii = np.concatenate([ii, np.repeat(np.arange(s, e), len(rest))])
+            jj = np.concatenate([jj, np.tile(rest, e - s)])
+        alpha = np.ceil(_T / (1 + _T) * (n[ii] + n[jj]))
+        ok = (np.minimum(rem[ii], rem[jj]) >= alpha) & (docs[ii] != docs[jj])
+        outs_a.append(docs[ii[ok]])
+        outs_b.append(docs[jj[ok]])
+    a = np.concatenate(outs_a)
+    b = np.concatenate(outs_b)
+    return pa.table({"doc_a": pa.array(np.minimum(a, b), pa.int64()),
+                     "doc_b": pa.array(np.maximum(a, b), pa.int64())})
+
+
 def _blocked_triu_pairs(docs: np.ndarray) -> pd.DataFrame:
     """All unordered pairs of ``docs`` (sorted ids, a<b), generated in
     blocks so no single allocation is quadratic in the group size."""
@@ -169,36 +220,56 @@ def ngram_jaccard_pairs(sf_dir: str):
     with_df = exploded.join(df_ds, "inner", JOIN_PARTITIONS,
                             on=("sh",)).materialize()
 
-    def prefix_rows(group: pd.DataFrame) -> pd.DataFrame:
+    def prefix_rows(group: pa.Table) -> pa.Table:
+        # NOTE all group fns emit ARROW blocks: Ray's hash shuffle /
+        # aggregate is ~17× slower over pandas blocks (measured)
         sh = group["sh"].to_numpy()
         dfv = group["df"].to_numpy()
         n = len(sh)
         order = np.lexsort((sh, dfv))
-        p = n - int(np.ceil(JACCARD_THRESHOLD * n)) + 1
-        sel = order[:p]
-        return pd.DataFrame({
-            "sh": sh[sel],
-            "doc_id": np.full(len(sel), int(group["doc_id"].iloc[0]),
-                              dtype=np.int64)})
+        plen = n - int(np.ceil(JACCARD_THRESHOLD * n)) + 1
+        sel = order[:plen]
+        return pa.table({
+            "sh": pa.array(sh[sel], pa.int64()),
+            "doc_id": pa.array(np.full(len(sel), group["doc_id"][0].as_py(),
+                               dtype=np.int64)),
+            # 0-based position of the shingle in the doc's global order
+            # and the doc's set size — the PPJoin positional filter needs
+            # both (Xiao et al., WWW'08 §3.2)
+            "p": pa.array(np.arange(len(sel), dtype=np.int64)),
+            "n": pa.array(np.full(len(sel), n, dtype=np.int64))})
 
     prefixes = with_df.groupby("doc_id").map_groups(
-        prefix_rows, batch_format="pandas")
-    cand = (prefixes.groupby("sh")
-            .map_groups(lambda g: _blocked_triu_pairs(g["doc_id"].to_numpy()),
-                        batch_format="pandas")
+        prefix_rows, batch_format="pyarrow").materialize()
+    # most prefix shingles occur in exactly one doc → no pairs; drop them
+    # BEFORE the per-group pairing stage with a vectorized count + semi
+    # join, so map_groups only ever sees multi-occupancy groups
+    pdf = prefixes.groupby("sh").aggregate(
+        Count(alias_name="pdf")).materialize()
+
+    def _multi(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.greater_equal(b["pdf"], 2))
+
+    multi = pdf.map_batches(_multi, batch_format="pyarrow").materialize()
+    shared = prefixes.join(multi, "left_semi", JOIN_PARTITIONS,
+                           on=("sh",)).materialize()
+    cand = (shared.groupby("sh")
+            .map_groups(_positional_filtered_pairs, batch_format="pyarrow")
             .groupby(["doc_a", "doc_b"])
             .aggregate(Count(alias_name="_nb")).materialize())
 
-    def set_rows(group: pd.DataFrame) -> pd.DataFrame:
+    def set_rows(group: pa.Table) -> pa.Table:
         # the set rides through the hash join as a binary blob (Arrow's
         # join doesn't take list payloads)
         sh = np.sort(group["sh"].to_numpy().astype("<i8"))
-        return pd.DataFrame({
-            "doc_id": [int(group["doc_id"].iloc[0])],
-            "shs": [sh.tobytes()], "n": [len(sh)]})
+        return pa.table({
+            "doc_id": pa.array([group["doc_id"][0].as_py()], pa.int64()),
+            "shs": pa.array([sh.tobytes()], pa.binary()),
+            "n": pa.array([len(sh)], pa.int64())})
 
     sets = exploded.groupby("doc_id").map_groups(
-        set_rows, batch_format="pandas").materialize()
+        set_rows, batch_format="pyarrow").materialize()
     j1 = cand.join(sets, "inner", JOIN_PARTITIONS,
                    on=("doc_a",), right_on=("doc_id",),
                    right_suffix="_a").materialize()
@@ -219,10 +290,10 @@ def ngram_jaccard_pairs(sf_dir: str):
                 out_a.append(int(row["doc_a"]))
                 out_b.append(int(row["doc_b"]))
                 out_j.append(round(j, 6))
-        return pd.DataFrame({
-            "doc_a": pd.Series(out_a, dtype=np.int64),
-            "doc_b": pd.Series(out_b, dtype=np.int64),
-            "jaccard": pd.Series(out_j, dtype=np.float64)})
+        return pa.table({
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64())})
 
     return j2.map_batches(verify, batch_format="pandas")
 
@@ -272,27 +343,33 @@ def label_propagation_components(pairs_ds, max_rounds: int = 64):
     from ray.data.aggregate import Min, Sum
 
     edges = pairs_ds.map_batches(
-        lambda b: pd.DataFrame({
-            "src": np.concatenate([b["doc_a"].to_numpy(),
-                                   b["doc_b"].to_numpy()]).astype(np.int64),
-            "dst": np.concatenate([b["doc_b"].to_numpy(),
-                                   b["doc_a"].to_numpy()]).astype(np.int64),
-        }), batch_format="pandas").materialize()
+        lambda b: pa.table({
+            "src": pa.array(np.concatenate(
+                [b["doc_a"].to_numpy(), b["doc_b"].to_numpy()])
+                .astype(np.int64)),
+            "dst": pa.array(np.concatenate(
+                [b["doc_b"].to_numpy(), b["doc_a"].to_numpy()])
+                .astype(np.int64)),
+        }), batch_format="pyarrow").materialize()
     if edges.count() == 0:
         return None
     labels = (edges.groupby("src").aggregate(Min("dst", alias_name="_m"))
-              .map_batches(lambda b: pd.DataFrame({
-                  "doc_id": b["src"].astype(np.int64),
-                  "cluster_id": np.minimum(b["src"], b["_m"]).astype(np.int64),
-              }), batch_format="pandas").materialize())
+              .map_batches(lambda b: pa.table({
+                  "doc_id": pa.array(b["src"].to_numpy().astype(np.int64)),
+                  "cluster_id": pa.array(np.minimum(
+                      b["src"].to_numpy(),
+                      b["_m"].to_numpy()).astype(np.int64)),
+              }), batch_format="pyarrow").materialize())
     prev_sum = None
     for _ in range(max_rounds):
         msgs = (edges.join(labels, "inner", JOIN_PARTITIONS,
                            on=("src",), right_on=("doc_id",))
-                .map_batches(lambda b: pd.DataFrame({
-                    "doc_id": b["dst"].astype(np.int64),
-                    "cluster_id": b["cluster_id"].astype(np.int64),
-                }), batch_format="pandas"))
+                .map_batches(lambda b: pa.table({
+                    "doc_id": pa.array(b["dst"].to_numpy()
+                                       .astype(np.int64)),
+                    "cluster_id": pa.array(b["cluster_id"].to_numpy()
+                                           .astype(np.int64)),
+                }), batch_format="pyarrow"))
         labels = (labels.union(msgs).groupby("doc_id")
                   .aggregate(Min("cluster_id", alias_name="cluster_id"))
                   .materialize())
@@ -420,13 +497,13 @@ def minhash_lsh_pairs(sf_dir: str):
             out_b.append(docs[gj[keep]])
             out_j.append(np.round(est[bi[keep], bj[keep]], 6))
         if not out_a:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64),
-                                 "est_jaccard": pd.Series([], dtype=np.float64)})
-        return pd.DataFrame({
-            "doc_a": np.concatenate(out_a).astype(np.int64),
-            "doc_b": np.concatenate(out_b).astype(np.int64),
-            "est_jaccard": np.concatenate(out_j)})
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "doc_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+            "est_jaccard": pa.array(np.concatenate(out_j), pa.float64())})
 
     cand = (banded.groupby(["band", "band_key"])
             .map_groups(pairs, batch_format="pandas"))

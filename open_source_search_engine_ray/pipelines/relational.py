@@ -137,6 +137,82 @@ ORDER BY n.n_name
 """
 
 
+def parts_profit_by_nation(sf_dir: str):
+    """TPC-H Q9-flavored 3-dim star join: revenue per (supplier nation,
+    part brand).  lineitem streams; part / supplier / nation are the small
+    sides — broadcast ONCE via ``ray.put`` as sorted-array lookups, joined
+    map-side with searchsorted (no shuffle join for dimension tables), then
+    a partial-aggregating hash groupby on the tiny key space."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    p_keys = part["p_partkey"].to_numpy().astype(np.int64)
+    p_order = np.argsort(p_keys)
+    p_keys = p_keys[p_order]
+    p_brand = part["p_brand"].to_numpy()[p_order]
+    s_keys = supp["s_suppkey"].to_numpy().astype(np.int64)
+    s_order = np.argsort(s_keys)
+    s_keys = s_keys[s_order]
+    nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    s_nation = np.asarray(
+        [nname.get(int(k), "UNKNOWN")
+         for k in supp["s_nationkey"].to_numpy()[s_order]])
+    ref = ray.put((p_keys, p_brand, s_keys, s_nation))
+
+    def attach(b: pa.Table) -> pa.Table:
+        pk, pb, sk, sn = ray.get(ref)
+        lp = b["l_partkey"].to_numpy().astype(np.int64)
+        ls = b["l_suppkey"].to_numpy().astype(np.int64)
+        bi = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+        si = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
+        ok = (pk[bi] == lp) & (sk[si] == ls)
+        price = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        rev_e4 = (np.rint(price * 100.0).astype(np.int64)
+                  * np.rint((1.0 - disc) * 100.0).astype(np.int64))
+        return pa.table({
+            "n_name": pa.array(sn[si][ok], pa.string()),
+            "p_brand": pa.array(pb[bi][ok], pa.string()),
+            "rev_e4": pa.array(rev_e4[ok], pa.int64()),
+        })
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    agg = (ds.map_batches(attach, batch_format="pyarrow")
+           .groupby(["n_name", "p_brand"])
+           .aggregate(Sum("rev_e4", alias_name="sum_e4"),
+                      Count(alias_name="n_items")))
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": b["n_name"],
+            "p_brand": b["p_brand"],
+            "revenue": pc.divide(
+                pc.cast(b["sum_e4"], pa.float64()), pa.scalar(10000.0)),
+            "n_items": b["n_items"],
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def parts_profit_by_nation_sql() -> str:
+    return """
+SELECT n.n_name, p.p_brand,
+       sum(round(l.l_extendedprice * 100)::BIGINT *
+           round((1 - l.l_discount) * 100)::BIGINT) / 10000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name, p.p_brand
+ORDER BY n.n_name, p.p_brand
+"""
+
+
 def events_hourly_window(sf_dir: str):
     """Tumbling 1h windows per event_type: (window_start epoch-seconds,
     event_type, n_events, sum_value) — the streaming windowed-aggregate

@@ -228,7 +228,9 @@ def embedding_neardup_lsh(sf_dir: str):
     bucketed = _read_emb(sf_dir).map_batches(
         MultiTableLsh, batch_format="pyarrow", concurrency=(1, 4))
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
+        # emits ARROW (Ray's downstream hash aggregate is ~17× slower
+        # over pandas blocks)
         ids = group["vec_id"].to_numpy()
         mat = np.stack(group["embedding"].to_numpy()).astype(np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -236,9 +238,10 @@ def embedding_neardup_lsh(sf_dir: str):
         rows, cols = np.nonzero(np.triu(sims >= NEARDUP_TAU, k=1))
         va, vb = ids[rows], ids[cols]
         lo, hi = np.minimum(va, vb), np.maximum(va, vb)
-        return pd.DataFrame({
-            "vec_a": lo.astype(np.int64), "vec_b": hi.astype(np.int64),
-            "sim": np.round(sims[rows, cols], 6)})
+        return pa.table({
+            "vec_a": pa.array(lo.astype(np.int64)),
+            "vec_b": pa.array(hi.astype(np.int64)),
+            "sim": pa.array(np.round(sims[rows, cols], 6), pa.float64())})
 
     cand = bucketed.groupby(["table", "bucket"]).map_groups(
         bucket_pairs, batch_format="pandas")

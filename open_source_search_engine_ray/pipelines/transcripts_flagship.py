@@ -85,6 +85,27 @@ def transcripts_search_snippets(sf_dir: str):
                           pa.array(out["doc_id"].to_numpy().astype(np.int64)))
 
 
+def transcripts_search_snippets_dedup(sf_dir: str):
+    """Result pages with summary dedup + cluster caps active
+    (``Msg40.cpp:1322`` percentSimilarSummary, ``Msg3a.cpp:803-840``
+    per-cluster cap): near-identical conversations collapse instead of
+    occupying multiple result slots."""
+    from ..query.engine import IndexSearcher
+    from ..query.snippets import search_with_snippets
+
+    idx_dir = ensure_index(sf_dir)
+    se = IndexSearcher(idx_dir)
+    parts = []
+    for qid, q, k in query_set()[:6]:
+        t = search_with_snippets(idx_dir, q, k, searcher=se, dedup=True)
+        t = t.append_column("query_id",
+                            pa.array([qid] * t.num_rows, pa.string()))
+        parts.append(t)
+    out = pa.concat_tables(parts)
+    return out.set_column(out.schema.get_field_index("doc_id"), "doc_id",
+                          pa.array(out["doc_id"].to_numpy().astype(np.int64)))
+
+
 def transcripts_index_manifests(sf_dir: str):
     """→ per-shard manifest metrics (lineage surface for the judge)."""
     import json

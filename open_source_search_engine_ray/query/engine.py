@@ -188,7 +188,8 @@ class IndexSearcher:
 
     def search(self, query: str, k: int = 10,
                synonyms: dict[str, list[str]] | None = None,
-               field_weights: tuple | None = None):
+               field_weights: tuple | None = None,
+               lang: str = "en"):
         """→ (doc_ids, scores) exact BM25F top-k.
 
         ``field_weights`` overrides the per-role/tool weights for this
@@ -196,11 +197,18 @@ class IndexSearcher:
         ``Parms.cpp:3730-3875``).  The tf side re-weights exactly; the
         per-posting doc length stays frozen at build weights (documented
         contract — the oracle applies the same rule).  Pruning bounds are
-        only valid for build weights, so overrides evaluate exactly."""
+        only valid for build weights, so overrides evaluate exactly.
+
+        ``synonyms`` is a token→alternatives dict, or the string
+        ``"default"`` for the shipped number-variant + curated-set +
+        word-variation table (functions/synonyms.py)."""
         from dataclasses import replace
 
+        if synonyms == "default":
+            from ..functions.synonyms import DEFAULT_SYNONYMS
+            synonyms = DEFAULT_SYNONYMS
         pq_ = parse_query(query, self.config.bigram_weight,
-                          synonyms=synonyms)
+                          synonyms=synonyms, lang=lang)
         lists = self._lists_for(pq_)
         cfg = self.config
         prune = True
@@ -213,7 +221,8 @@ class IndexSearcher:
 
     def search_page(self, query: str, k: int = 10, offset: int = 0,
                     with_total: bool = False,
-                    synonyms: dict[str, list[str]] | None = None):
+                    synonyms: dict[str, list[str]] | None = None,
+                    lang: str = "en"):
         """Paginated search (``m_firstResultNum``/``m_docsWanted``,
         ``SearchInput.h:177-178``): returns ``(doc_ids, scores, total)``
         for result ranks [offset, offset+k).  Internally evaluates
@@ -224,8 +233,11 @@ class IndexSearcher:
         un-pruned candidate pass over the already-decoded lists."""
         from .kernel import candidate_docs
 
+        if synonyms == "default":
+            from ..functions.synonyms import DEFAULT_SYNONYMS
+            synonyms = DEFAULT_SYNONYMS
         pq_ = parse_query(query, self.config.bigram_weight,
-                          synonyms=synonyms)
+                          synonyms=synonyms, lang=lang)
         lists = self._lists_for(pq_)
         docs, scores = evaluate(pq_, lists, self.n_docs, self.avgdl,
                                 self.config, offset + k)

@@ -40,6 +40,15 @@ class TermPostings:
     # per-doc position lists as (flat uint64, offsets int64 len n+1)
     positions: tuple | None = None
     block_max: np.ndarray | None = None  # float32 per block (engine only)
+    # lazily-built impact order (posting indices sorted by descending
+    # idf-free score) + the sorted scores — cached on the object because
+    # the engine caches TermPostings per term; ~12 bytes/posting
+    impact: tuple | None = None
+
+
+# below this summed-df the exhaustive union scan is cheaper than building
+# impact orders (tests lower it to force the impact-ordered path)
+IMPACT_UNION_MIN_POSTINGS = 100_000
 
 
 def in_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
@@ -209,6 +218,84 @@ def _maxscore_candidates(scorable, lists, n_docs: float, avgdl: float,
     return cand
 
 
+def _impact_ordered_union(scorable, lists, n_docs: int, avgdl: float,
+                          config: IndexConfig, k: int, wq: np.ndarray,
+                          chunk: int = 8192):
+    """Impact-ordered evaluation for uniform disjunctions — the fallback
+    MaxScore can't help with (uniform stopword lists: every doc matches
+    every term, bounds prune nothing doc-at-a-time).
+
+    Threshold-algorithm (Fagin TA) shape, vectorized: each term's postings
+    are visited in DESCENDING idf-free impact (frequency/impact-sorted
+    duplicate view, built lazily once per cached TermPostings — the
+    impact-ordered-posting analogue of the reference's high-frequency term
+    shortcuts).  Rounds consume one chunk per term, pool every doc seen,
+    score the pool EXACTLY in canonical order, and stop when the k-th
+    pooled score strictly exceeds the sum of the terms' next-impact bounds
+    — every unseen doc is then provably below the k-th result even on
+    ties, so the answer is identical to the exhaustive scan (asserted in
+    tests/test_pruning.py).  Stopword impacts correlate across terms (all
+    driven by 1/dl), so the first chunks already contain the winners."""
+    terms = []
+    for t in scorable:
+        tp = lists.get(t.term_id)
+        if tp is None or tp.df == 0:
+            continue
+        if tp.impact is None:
+            s = term_scores(_tf_weighted(tp, None, wq), tp.dl, avgdl,
+                            config.k1, config.b, 1.0)
+            order = np.argsort(-s, kind="stable").astype(np.int64)
+            tp.impact = (order, s[order])
+        terms.append((t, tp, float(bm25_idf(tp.df, n_docs)) * float(t.weight)))
+    if not terms:
+        return (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.float64))
+
+    consumed: list[np.ndarray] = []
+    cursors = [0] * len(terms)
+    while True:
+        exhausted = True
+        for i, (t, tp, iv) in enumerate(terms):
+            order, _ = tp.impact
+            c = cursors[i]
+            if c < len(order):
+                consumed.append(tp.doc_ids[order[c:c + chunk]])
+                cursors[i] = c + chunk
+                exhausted = exhausted and cursors[i] >= len(order)
+            # else exhausted stays as-is for this term
+        pool = np.unique(np.concatenate(consumed))
+        # remaining-impact bound: for each term, the impact of its next
+        # (unconsumed) entry; docs outside the pool score below the sum
+        theta = 0.0
+        for i, (t, tp, iv) in enumerate(terms):
+            order, s_sorted = tp.impact
+            c = cursors[i]
+            if c < len(order):
+                theta += float(s_sorted[c]) * iv
+        # exact canonical scoring of the pool (same float path as the
+        # exhaustive evaluator — scores are bit-identical per doc)
+        scores = np.zeros(len(pool), dtype=np.float64)
+        for t2 in scorable:
+            tp2 = lists.get(t2.term_id)
+            if tp2 is None or tp2.df == 0:
+                continue
+            idx = np.searchsorted(tp2.doc_ids, pool)
+            idx_c = np.minimum(idx, len(tp2.doc_ids) - 1)
+            present = tp2.doc_ids[idx_c] == pool
+            if present.any():
+                sel = idx_c[present]
+                tfw = _tf_weighted(tp2, None, wq)[sel]
+                iv2 = bm25_idf(tp2.df, n_docs)
+                scores[present] += np.float64(t2.weight) * term_scores(
+                    tfw, tp2.dl[sel], avgdl, config.k1, config.b,
+                    float(iv2))
+        if len(pool) >= k:
+            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+            if exhausted or kth > theta * (1.0 + 1e-12):
+                return topk_merge(pool, scores, k)
+        elif exhausted:
+            return topk_merge(pool, scores, k)
+
+
 def docs_of_term(t, tp: TermPostings) -> np.ndarray:
     if t.field is not None:
         return tp.doc_ids[tp.tfs[:, t.field] > 0]
@@ -240,18 +327,22 @@ def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
                 and not any(t.negative for t in query.terms)):
             dfs = [lists[t.term_id].df for t in positives_all
                    if lists.get(t.term_id) is not None]
-            # engage only when the df spread gives the bounds something to
-            # prune; uniform stopword lists score everything either way and
-            # the candidate bookkeeping would just add overhead
+            wq = np.asarray([int(round(w * 4))
+                             for w in config.field_weights],
+                            dtype=np.int64)
+            scorable = [t for t in query.terms if not t.negative]
+            # df spread → MaxScore bounds have something to prune
             if dfs and max(dfs) > 8 * min(dfs):
-                wq = np.asarray([int(round(w * 4))
-                                 for w in config.field_weights],
-                                dtype=np.int64)
-                scorable = [t for t in query.terms if not t.negative]
                 cand = _maxscore_candidates(scorable, lists, n_docs, avgdl,
                                             config, k, wq)
                 return _score_candidates(query, lists, cand, n_docs, avgdl,
                                          config, k, wq)
+            # uniform big lists (stopword disjunctions): doc-at-a-time
+            # bounds prune nothing — switch to impact-ordered evaluation
+            if (dfs and sum(dfs) > IMPACT_UNION_MIN_POSTINGS
+                    and all(t.field is None for t in scorable)):
+                return _impact_ordered_union(scorable, lists, n_docs,
+                                             avgdl, config, k, wq)
     wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
                     dtype=np.int64)
     cand = candidate_docs(query, lists)

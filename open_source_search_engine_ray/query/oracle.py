@@ -98,10 +98,15 @@ class OracleIndex:
 
     def search(self, query: str, k: int = 10,
                synonyms: dict[str, list[str]] | None = None,
-               field_weights: tuple | None = None):
+               field_weights: tuple | None = None,
+               lang: str = "en"):
         from dataclasses import replace
 
-        pq = parse_query(query, self.config.bigram_weight, synonyms=synonyms)
+        if synonyms == "default":
+            from ..functions.synonyms import DEFAULT_SYNONYMS
+            synonyms = DEFAULT_SYNONYMS
+        pq = parse_query(query, self.config.bigram_weight, synonyms=synonyms,
+                         lang=lang)
         lists = {t.term_id: self._lists.get(t.term_id) for t in pq.terms}
         cfg = self.config
         if field_weights is not None:

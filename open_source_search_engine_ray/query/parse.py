@@ -33,7 +33,7 @@ import numpy as np
 from ..config import FIELD_NAMES
 from ..functions.ghash import (TERMID_MASK, PHRASE_STOPWORD_XOR,
                                hash64_lower_utf8, hash64_lower_utf8_cont)
-from ..functions.stopwords import STOPWORDS
+from ..functions.stopwords import STOPWORDS, query_stopwords
 from ..functions.tokenizer import tokenize
 
 
@@ -85,9 +85,9 @@ class ParsedQuery:
         return ids
 
 
-def _is_query_stop(token: str) -> bool:
+def _is_query_stop(token: str, stops: frozenset = STOPWORDS) -> bool:
     t = token.lower()
-    return t in STOPWORDS or (len(t) == 1 and t.isalpha())
+    return t in stops or (len(t) == 1 and t.isalpha())
 
 
 def _parse_boolean_query(q: str) -> ParsedQuery:
@@ -244,7 +244,8 @@ def _parse_boolean_query(q: str) -> ParsedQuery:
 
 def parse_query(q: str, bigram_weight: float = 0.5,
                 synonyms: dict[str, list[str]] | None = None,
-                synonym_weight: float = 0.9) -> ParsedQuery:
+                synonym_weight: float = 0.9,
+                lang: str = "en") -> ParsedQuery:
     """``synonyms`` (optional): token → alternatives, expanded as optional
     weighted terms for unquoted, unsigned, unfielded words of length > 1 —
     Appendix A class 3 (``Synonyms.cpp:53-140``, ``synonymWeight=0.9``
@@ -254,6 +255,10 @@ def parse_query(q: str, bigram_weight: float = 0.5,
     parser (:func:`_parse_boolean_query`)."""
     if "(" in q:
         return _parse_boolean_query(q)
+    # per-language QUERY stopword set (query_stop_words.<lang>.txt
+    # analogue); affects only IGNORE_QSTOP optionality — the bigram rule
+    # below keeps the indexing contract's English set
+    qstops = query_stopwords(lang)
     out = ParsedQuery(raw=q)
     # chunking: quotes, signs, field-scope directives
     i, n = 0, len(q)
@@ -337,7 +342,7 @@ def parse_query(q: str, bigram_weight: float = 0.5,
     for s_i, (tok, neg, req, qid, fscope, _hyph) in enumerate(stream):
         wid = hash64_lower_utf8(tok)
         tid = int(np.uint64(wid) & TERMID_MASK)
-        is_stop = _is_query_stop(tok)
+        is_stop = _is_query_stop(tok, qstops)
         required = (qid >= 0) or req or (not is_stop)
         if neg:
             out.terms.append(QTerm(tok, tid, False, True, False, fscope,

@@ -83,13 +83,75 @@ def _best_turn_snippet(turns: list[tuple[int, str, str]],
     return out, role, turn_idx
 
 
+def _summary_tokens(snippet: str) -> set:
+    text = snippet.replace("<b>", "").replace("</b>", "")
+    toks, _, _ = tokenize(text)
+    return {t.lower() for t in toks}
+
+
+def _percent_similar(a: set, b: set) -> float:
+    if not a or not b:
+        return 0.0
+    return 200.0 * len(a & b) / (len(a) + len(b))
+
+
+def dedup_result_page(tbl: pa.Table, k: int, max_per_cluster: int = 2,
+                      similar_pct: float = 80.0,
+                      cluster_pct: float = 50.0) -> pa.Table:
+    """Result-page dedup + clustering caps (``Msg40.cpp:1322``
+    ``percentSimilarSummary`` + the ≤2-per-site merge cap
+    ``Msg3a.cpp:803-840``, with the near-dup CLUSTER playing the role of
+    the site):
+
+    - a result whose summary is ≥ ``similar_pct`` token-similar to a
+      higher-ranked kept result is dropped (duplicate);
+    - kept results ≥ ``cluster_pct`` similar join that result's cluster;
+      each cluster keeps at most ``max_per_cluster`` results;
+    - survivors are re-ranked 1..n and truncated to ``k``.
+    """
+    df = tbl.to_pandas()
+    sets = [_summary_tokens(s) for s in df["snippet"]]
+    kept: list[int] = []
+    cluster_of: dict[int, int] = {}
+    csize: dict[int, int] = {}
+    for i in range(len(df)):
+        dup = False
+        cluster = None
+        for j in kept:
+            pct = _percent_similar(sets[i], sets[j])
+            if pct >= similar_pct:
+                dup = True
+                break
+            if pct >= cluster_pct and cluster is None:
+                cluster = cluster_of[j]
+        if dup:
+            continue
+        if cluster is None:
+            cluster = i
+        if csize.get(cluster, 0) >= max_per_cluster:
+            continue
+        cluster_of[i] = cluster
+        csize[cluster] = csize.get(cluster, 0) + 1
+        kept.append(i)
+        if len(kept) >= k:
+            break
+    out = df.iloc[kept].reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+    return pa.Table.from_pandas(out, preserve_index=False).cast(tbl.schema)
+
+
 def search_with_snippets(index_dir: str, query: str, k: int = 10,
-                         searcher: IndexSearcher | None = None) -> pa.Table:
+                         searcher: IndexSearcher | None = None,
+                         dedup: bool = False, max_per_cluster: int = 2,
+                         similar_pct: float = 80.0,
+                         oversample: int = 4) -> pa.Table:
     """→ (rank, doc_id, conv_id, score, snippet, snippet_role,
     snippet_turn_idx): the full result page (Msg40 → PageResults
-    analogue)."""
+    analogue).  ``dedup=True`` collapses near-identical summaries and caps
+    results per similarity cluster (see :func:`dedup_result_page`),
+    over-fetching ``oversample×k`` candidates so the page refills."""
     se = searcher or IndexSearcher(index_dir)
-    docs, scores = se.search(query, k)
+    docs, scores = se.search(query, k * oversample if dedup else k)
     pq_ = parse_query(query, se.config.bigram_weight)
     qterms = {t.term_id for t in pq_.terms if not t.negative}
     empty = pa.table({
@@ -122,7 +184,7 @@ def search_with_snippets(index_dir: str, query: str, k: int = 10,
         out["snippet"].append(snippet)
         out["snippet_role"].append(role)
         out["snippet_turn_idx"].append(tix)
-    return pa.table({
+    res = pa.table({
         "rank": pa.array(out["rank"], pa.int32()),
         "doc_id": pa.array(out["doc_id"], pa.uint64()),
         "conv_id": pa.array(out["conv_id"], pa.string()),
@@ -131,3 +193,6 @@ def search_with_snippets(index_dir: str, query: str, k: int = 10,
         "snippet_role": pa.array(out["snippet_role"], pa.string()),
         "snippet_turn_idx": pa.array(out["snippet_turn_idx"], pa.int32()),
     })
+    if dedup:
+        res = dedup_result_page(res, k, max_per_cluster, similar_pct)
+    return res

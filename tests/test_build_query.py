@@ -284,3 +284,35 @@ def test_pagination_and_total_hits(built_index, oracle):
         assert tot == otot
         dall, _, _ = se.search_page(q, 10 ** 6)
         assert tot == len(dall), q  # total == number of all matches
+
+
+def test_default_synonym_table(built_index, oracle):
+    """The shipped synonym/variation table (functions/synonyms.py — the
+    STO/WordVariations stand-in): number variants per the reference's own
+    expansion test ('the one' → the, one, 1), possessive strip, engine ==
+    oracle with the table active, and variant-only matches scored at 0.9."""
+    from open_source_search_engine_ray.functions.synonyms import (
+        DEFAULT_SYNONYMS, variants_for)
+    from open_source_search_engine_ray.query.parse import parse_query
+
+    # reference parity: test/system/test_search_terms.py:4-18
+    pq = parse_query("the one", synonyms=DEFAULT_SYNONYMS)
+    toks = [t.token for t in pq.terms]
+    assert "the" in toks and "one" in toks and "1" in toks
+    assert "the one" in toks            # bigram boost term
+    assert variants_for("dave's") == ["dave"]
+    assert "8" in variants_for("eight") and "eight" in variants_for("8")
+    assert "quick" in variants_for("fast")
+
+    se = IndexSearcher(IDX)
+    # engine == oracle with the table active (float64-exact)
+    for q in ("eight", "prices eight", "the one", "dave's code"):
+        d1, s1 = se.search(q, 10, synonyms="default")
+        d2, s2 = oracle.search(q, 10, synonyms="default")
+        assert list(d1) == list(d2) and list(s1) == list(s2), q
+    # 'eight' is OOV in the corpus: its hits come solely from the '8'
+    # variant at weight 0.9
+    d8, s8 = se.search("8", 10)
+    dv, sv = se.search("eight", 10, synonyms="default")
+    assert len(dv) and list(dv) == list(d8)
+    assert np.allclose(np.asarray(sv), 0.9 * np.asarray(s8), rtol=1e-12)

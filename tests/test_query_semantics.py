@@ -144,3 +144,16 @@ def test_boolean_tree_queries(tiny):
     m2 = {int(d): s for d, s in zip(d2, s2)}
     for d, s in zip(d1, s1):
         assert abs(m2[int(d)] - s) < 1e-12
+
+
+def test_per_language_query_stopwords():
+    # query_stop_words.<lang> analogue: 'der' is a stopword in German but
+    # a content word in English — requiredness flips with the language
+    orc = OracleIndex(_mk([
+        ("G1", 0, "user", "der schnelle fuchs"),
+        ("G2", 0, "user", "fuchs springt hoch"),
+    ]))
+    docs_en, _ = orc.search("der fuchs", 10, lang="en")
+    assert sorted(orc.doc_to_conv[int(d)] for d in docs_en) == ["G1"]
+    docs_de, _ = orc.search("der fuchs", 10, lang="de")
+    assert sorted(orc.doc_to_conv[int(d)] for d in docs_de) == ["G1", "G2"]

@@ -42,3 +42,50 @@ def test_snippets_marker_term_role(snip_index):
 
 def test_snippets_empty_query(snip_index):
     assert search_with_snippets(snip_index, "zzqqxoov", k=5).num_rows == 0
+
+
+DUP_IDX = "/tmp/osse_dedup_idx"
+
+
+@pytest.fixture(scope="module")
+def dup_index(ray_session):
+    """Corpus with planted near-identical conversations: 5 exact dupes of
+    one answer, 3 half-similar variants, 2 distinct docs."""
+    import pyarrow as pa
+    import ray.data
+
+    rows = []
+    for i in range(5):   # exact dupes (summary similarity 100%)
+        rows.append((f"dup-{i}", "the widget answer is exactly this text"))
+    for i in range(3):   # same first half, distinct second half (~60%)
+        rows.append((f"half-{i}", "widget setup guide part "
+                     f"alpha{i} beta{i} gamma{i} delta{i}"))
+    rows.append(("solo-1", "widget pricing for enterprise customers"))
+    rows.append(("solo-2", "unrelated filler about kumquats widget"))
+    tbl = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([0] * len(rows), pa.int32()),
+        "role": pa.array(["assistant"] * len(rows)),
+        "text": pa.array([r[1] for r in rows]),
+        "tool": pa.array([None] * len(rows), pa.string()),
+        "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+    })
+    shutil.rmtree(DUP_IDX, ignore_errors=True)
+    build_index(lambda: ray.data.from_arrow(tbl), DUP_IDX,
+                input_token="dup:planted")
+    return DUP_IDX
+
+
+def test_result_page_dedup_and_cluster_cap(dup_index):
+    """Msg40 percentSimilarSummary dedup + Msg3a ≤m-per-cluster cap: the 5
+    planted exact dupes collapse to ONE result, the 3 half-similar docs
+    cap at 2 (same cluster), distinct docs survive."""
+    raw = search_with_snippets(dup_index, "widget", k=10).to_pylist()
+    assert len(raw) == 10   # without dedup every dupe occupies a slot
+    res = search_with_snippets(dup_index, "widget", k=10,
+                               dedup=True).to_pylist()
+    convs = [r["conv_id"] for r in res]
+    assert sum(c.startswith("dup-") for c in convs) == 1
+    assert sum(c.startswith("half-") for c in convs) == 2
+    assert "solo-1" in convs and "solo-2" in convs
+    assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
