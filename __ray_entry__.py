@@ -62,10 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "cosine_topk": similarity.cosine_topk,
         "lsh_cosine_topk": similarity.lsh_cosine_topk,
+        "ivf_cosine_topk": similarity.ivf_cosine_topk,
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         # text analysis
         "token_stats": text_analysis.token_stats,
+        "bpe_token_count": text_analysis.bpe_token_count,
         "quality_score": text_analysis.quality_score,
         "lang_id": text_analysis.lang_id,
         "fingerprint_docs": text_analysis.fingerprint_docs,
@@ -91,6 +93,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": similarity.cosine_topk_sql(),
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs_sql(),
         "token_stats": text_analysis.token_stats_sql(),
+        "bpe_token_count": text_analysis.bpe_token_count_sql(),
         "quality_score": text_analysis.quality_score_sql(),
         "lang_id": text_analysis.lang_id_sql(),
         "lineitem_pricing_summary":

@@ -480,22 +480,24 @@ def minhash_lsh_pairs(sf_dir: str):
         sigs = np.stack([np.asarray(s) for s in group["sig"].to_numpy()[order]])
         n = len(docs)
         out_a, out_b, out_j = [], [], []
-        # blocked (row-block × all-later) equality counts: memory per block
-        # is PAIR_BLOCK × n × 1 byte per permutation chunk, never n²×perms
-        for s in range(0, n, PAIR_BLOCK):
-            blk = slice(s, min(s + PAIR_BLOCK, n))
-            nb = blk.stop - s
-            counts = np.zeros((nb, n - s), dtype=np.int16)
-            for p in range(sigs.shape[1]):   # accumulate per permutation:
-                counts += sigs[blk, p, None] == sigs[None, s:, p]
-            est = counts.astype(np.float64) / sigs.shape[1]
-            bi, bj = np.nonzero(est >= JACCARD_THRESHOLD)
-            gi = bi + s
-            gj = bj + s
-            keep = (gi < gj) & (docs[gi] != docs[gj])
-            out_a.append(docs[gi[keep]])
-            out_b.append(docs[gj[keep]])
-            out_j.append(np.round(est[bi[keep], bj[keep]], 6))
+        # doubly-blocked equality counts: any one tile is ROW_B × COL_B
+        # int16 (~16 MB), never n² × perms, regardless of bucket size
+        ROW_B, COL_B = 1024, 8192
+        for s in range(0, n, ROW_B):
+            e = min(s + ROW_B, n)
+            for c0 in range(s, n, COL_B):
+                c1 = min(c0 + COL_B, n)
+                counts = np.zeros((e - s, c1 - c0), dtype=np.int16)
+                for p in range(sigs.shape[1]):  # accumulate per permutation
+                    counts += sigs[s:e, p, None] == sigs[None, c0:c1, p]
+                est = counts.astype(np.float64) / sigs.shape[1]
+                bi, bj = np.nonzero(est >= JACCARD_THRESHOLD)
+                gi = bi + s
+                gj = bj + c0
+                keep = (gi < gj) & (docs[gi] != docs[gj])
+                out_a.append(docs[gi[keep]])
+                out_b.append(docs[gj[keep]])
+                out_j.append(np.round(est[bi[keep], bj[keep]], 6))
         if not out_a:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),

@@ -249,6 +249,95 @@ def embedding_neardup_lsh(sf_dir: str):
             .aggregate(Max("sim", alias_name="sim")))
 
 
+IVF_NLIST = 32
+IVF_NPROBE = 8
+IVF_TRAIN_SAMPLE = 4096
+IVF_KMEANS_ITERS = 10
+
+
+def _train_ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a bounded sample
+    (driver-side numpy, deterministic seed) — the IVF training step.  The
+    sample size is fixed regardless of corpus size; at cluster scale this
+    is the standard 'train on a sample, assign in parallel' recipe."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batch = next(pf.iter_batches(batch_size=IVF_TRAIN_SAMPLE,
+                                 columns=["embedding"]))
+    x = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(4321)
+    cents = x[rng.choice(len(x), size=min(IVF_NLIST, len(x)),
+                         replace=False)]
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def ivf_cosine_topk(sf_dir: str):
+    """Approximate cosine top-k via an IVF (inverted-file) index: vectors
+    partition into IVF_NLIST coarse cells; each query probes only its
+    IVF_NPROBE nearest cells, so scored candidates are ~nprobe/nlist of
+    the corpus.  Assignment + scoring happen map-side per batch against
+    the broadcast centroid/query matrices (no shuffle besides the final
+    per-query top-k).  Rows-only driver check; recall anchored against
+    ``cosine_topk`` in tests/test_pipelines.py."""
+    import ray
+
+    q_ids, q_mat = _query_matrix(sf_dir)
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    cents = _train_ivf_centroids(sf_dir)
+    # per query: the nprobe nearest cells
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :IVF_NPROBE]
+    probe_mask = np.zeros((len(q_ids), len(cents)), dtype=bool)
+    for qi in range(len(q_ids)):
+        probe_mask[qi, probe[qi]] = True
+    ref = ray.put((q_ids, qn, cents, probe_mask))
+
+    def cell_sims(batch: pa.Table) -> pa.Table:
+        ids, qn_, cents_, mask = ray.get(ref)
+        vecs = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        assign = np.argmax(vn @ cents_.T, axis=1)       # IVF cell per vec
+        vid = batch["vec_id"].to_numpy()
+        out_q, out_v, out_s = [], [], []
+        sims = vn @ qn_.T                               # (n, nq)
+        for qi, qid in enumerate(ids):
+            sel = mask[qi][assign]                      # vec's cell probed?
+            if sel.any():
+                out_q.append(np.full(int(sel.sum()), int(qid), np.int64))
+                out_v.append(vid[sel].astype(np.int64))
+                out_s.append(sims[sel, qi])
+        if not out_q:
+            return pa.table({"query_vec_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({
+            "query_vec_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    scored = _read_emb(sf_dir).map_batches(cell_sims, batch_format="pyarrow")
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "vec_id"],
+                              ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["sim"] = g["sim"].round(6)
+        return g[["query_vec_id", "rank", "vec_id", "sim"]]
+
+    return scored.groupby("query_vec_id").map_groups(topk,
+                                                     batch_format="pandas")
+
+
 class LshCosine:
     """Actor-pool stage: random-hyperplane signature per vector (state —
     the plane matrix — built once per actor, deterministic seed)."""

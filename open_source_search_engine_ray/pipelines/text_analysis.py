@@ -56,6 +56,51 @@ def token_stats(sf_dir: str):
     return _read_docs(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
+_BPE_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                r"| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+")
+
+
+def bpe_token_count(sf_dir: str):
+    """→ (doc_id, n_bpe_tokens, chars_per_token): GPT-2-style pre-tokenizer
+    segmentation (contraction suffixes, letter runs, digit runs, punct
+    runs, whitespace) — the standard first stage of BPE tokenization, as a
+    deterministic regex both Python ``re`` and DuckDB's RE2 evaluate
+    identically.  The LLM-pipeline 'token budget' operator: compiled once
+    per actor, vectorized over batches."""
+    import re
+
+    pat = re.compile(_BPE_PATTERN)
+
+    def count(batch: pa.Table) -> pa.Table:
+        n_tok, cpt = [], []
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            toks = pat.findall(t)
+            n = len(toks)
+            n_tok.append(n)
+            cpt.append(round(len(t) / n, 6) if n else 0.0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": pa.array(n_tok, pa.int64()),
+            "chars_per_token": pa.array(cpt, pa.float64()),
+        })
+
+    return _read_docs(sf_dir).map_batches(count, batch_format="pyarrow")
+
+
+def bpe_token_count_sql() -> str:
+    pat = _BPE_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens,
+       CASE WHEN len(regexp_extract_all(text, '{pat}')) = 0 THEN 0.0
+            ELSE round(length(text)::DOUBLE /
+                       len(regexp_extract_all(text, '{pat}')), 6)
+       END AS chars_per_token
+FROM documents ORDER BY doc_id
+"""
+
+
 def token_stats_sql() -> str:
     return """
 WITH toks AS (

@@ -319,9 +319,19 @@ def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
         if (len(query.terms) == 1 and len(positives_all) == 1):
             t = positives_all[0]
             tp = lists.get(t.term_id)
-            if (tp is not None and tp.block_max is not None
-                    and t.field is None and tp.df > 4 * k):
-                return _blockmax_single_term(t, tp, n_docs, avgdl, config, k)
+            if tp is not None and t.field is None:
+                # huge lists (df≈N stopwords): near-uniform block maxima
+                # make the block-bound walk visit most blocks — the
+                # impact-ordered path answers from its first chunk instead
+                if tp.df > IMPACT_UNION_MIN_POSTINGS:
+                    wq1 = np.asarray([int(round(w * 4))
+                                      for w in config.field_weights],
+                                     dtype=np.int64)
+                    return _impact_ordered_union([t], lists, n_docs, avgdl,
+                                                 config, k, wq1)
+                if tp.block_max is not None and tp.df > 4 * k:
+                    return _blockmax_single_term(t, tp, n_docs, avgdl,
+                                                 config, k)
         if (len(positives_all) > 1
                 and not any(t.required for t in positives_all)
                 and not any(t.negative for t in query.terms)):
