@@ -374,33 +374,73 @@ def _build_fused_spill(transcripts_ds_factory, out_dir: str,
             "avgdl": float(np.float64(total_dlq) / 4.0 / np.float64(n_docs)),
             "hot_terms": hot_terms}
 
-    # fused spill pass
-    t = time.time()
-    store_dir = os.path.join(out_dir, "docstore")
-    if write_docstore and not docstore_done:
-        shutil.rmtree(store_dir, ignore_errors=True)
+    # resume fast path: a crash DURING the encode stage left the spilled
+    # runs + spill/docstats stage manifests behind — skip re-tokenizing
+    # the whole corpus and go straight to the missing shards' encode
     spill_dir = os.path.join(out_dir, "tmp_spill")
-    shutil.rmtree(spill_dir, ignore_errors=True)
-    # writers reserve 0.7 CPU each (spill.py); keep ≥1 full CPU free or the
-    # upstream read tasks can never schedule and the split pull deadlocks
-    num_writers = min(cpus, max(1, int((cpus - 1) / 0.7)))
-    stats_src = (os.path.join(out_dir, "tmp_stats")
-                 if config.salt_all_terms else None)
-    if stats_src:
-        shutil.rmtree(stats_src, ignore_errors=True)
-    run_files, stats_df, spill_timings = spill_postings(
-        transcripts_ds_factory(), spill_dir,
-        store_dir if (write_docstore and not docstore_done) else None,
-        config, hot_ref, num_writers, stats_dir=stats_src)
-    if write_docstore and not docstore_done:
-        _mark_stage(out_dir, "docstore", fingerprint)
-    phase_sec["spill"] = round(time.time() - t, 3)
-    phase_sec["spill_detail"] = {
-        k: round(v / num_writers, 3) for k, v in spill_timings.items()}
+    skip_spill = False
+    if resume and _stage_complete(out_dir, "spill", fingerprint) \
+            and _stage_complete(out_dir, "docstats", fingerprint):
+        with open(_stage_manifest_path(out_dir, "spill")) as f:
+            recorded = json.load(f).get("run_files", [])
+        run_files = [os.path.join(spill_dir, name) for name in recorded]
+        skip_spill = bool(run_files) and all(
+            os.path.exists(p) and os.path.exists(p + ".shards.json")
+            for p in run_files)
+
+    if skip_spill:
+        phase_sec["spill"] = 0.0
+        t = time.time()
+        if config.salt_all_terms:
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(os.path.join(out_dir, "docstats"),
+                               format="parquet").to_table(columns=["dl_q"])
+            n_docs = tbl.num_rows
+            total_dlq = int(pa.compute.sum(tbl["dl_q"]).as_py())
+            avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(n_docs))
+            dl_ref = None
+            dl_dir = os.path.join(out_dir, "dlparts")
+        else:
+            _, doc_ids_sorted, dl32, dl_q = load_doc_stats(out_dir)
+            n_docs = len(doc_ids_sorted)
+            total_dlq = int(dl_q.sum())
+            avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(n_docs))
+            dl_ref = ray.put((doc_ids_sorted, dl32))
+        phase_sec["docstats_merge"] = round(time.time() - t, 3)
+        stats_df = None
+    else:
+        # fused spill pass
+        t = time.time()
+        store_dir = os.path.join(out_dir, "docstore")
+        if write_docstore and not docstore_done:
+            shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.rmtree(spill_dir, ignore_errors=True)
+        # writers reserve 0.7 CPU each (spill.py); keep ≥1 full CPU free
+        # or the upstream read tasks can never schedule and the split pull
+        # deadlocks
+        num_writers = min(cpus, max(1, int((cpus - 1) / 0.7)))
+        stats_src = (os.path.join(out_dir, "tmp_stats")
+                     if config.salt_all_terms else None)
+        if stats_src:
+            shutil.rmtree(stats_src, ignore_errors=True)
+        run_files, stats_df, spill_timings = spill_postings(
+            transcripts_ds_factory(), spill_dir,
+            store_dir if (write_docstore and not docstore_done) else None,
+            config, hot_ref, num_writers, stats_dir=stats_src)
+        if write_docstore and not docstore_done:
+            _mark_stage(out_dir, "docstore", fingerprint)
+        _mark_stage(out_dir, "spill", fingerprint,
+                    run_files=[os.path.basename(p) for p in run_files])
+        phase_sec["spill"] = round(time.time() - t, 3)
+        phase_sec["spill_detail"] = {
+            k: round(v / num_writers, 3) for k, v in spill_timings.items()}
 
     # doc stats from the spill pass's partials
     t = time.time()
-    if config.salt_all_terms:
+    if skip_spill:
+        pass
+    elif config.salt_all_terms:
         # distributed aggregate + partitioned dl store; no driver pandas,
         # no whole-corpus broadcast
         n_docs, total_dlq = _write_doc_stats_partitioned(
@@ -480,6 +520,10 @@ def _build_fused_spill(transcripts_ds_factory, out_dir: str,
         for res in ray.get(futs):
             summary.extend(res)
     shutil.rmtree(spill_dir, ignore_errors=True)
+    try:   # runs are gone — drop the spill checkpoint with them
+        os.remove(_stage_manifest_path(out_dir, "spill"))
+    except OSError:
+        pass
     phase_sec["encode"] = round(time.time() - t, 3)
 
     stats = {"n_docs": n_docs, "total_dlq": total_dlq, "avgdl": avgdl,

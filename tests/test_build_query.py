@@ -316,3 +316,39 @@ def test_default_synonym_table(built_index, oracle):
     dv, sv = se.search("eight", 10, synonyms="default")
     assert len(dv) and list(dv) == list(d8)
     assert np.allclose(np.asarray(sv), 0.9 * np.asarray(s8), rtol=1e-12)
+
+
+def test_resume_skips_spill_after_encode_crash(ray_session, monkeypatch,
+                                               oracle):
+    """A crash during the encode stage leaves the spilled runs + stage
+    manifests behind; resume must NOT re-tokenize the corpus (the spill
+    pass is ~55% of build time) and must produce an identical index."""
+    import open_source_search_engine_ray.index.build as build_mod
+    import open_source_search_engine_ray.stages.spill as spill_mod
+
+    idx = IDX + "_spillresume"
+    shutil.rmtree(idx, ignore_errors=True)
+    orig_encode = build_mod._encode_shard_chunk
+
+    def boom(*a, **k):
+        raise RuntimeError("injected encode crash")
+
+    monkeypatch.setattr(build_mod, "_encode_shard_chunk", boom)
+    with pytest.raises(Exception):
+        build_index(lambda: transcripts_dataset(N_CONV), idx,
+                    input_token=f"synthetic:n={N_CONV}")
+    monkeypatch.setattr(build_mod, "_encode_shard_chunk", orig_encode)
+
+    def no_spill(*a, **k):
+        raise AssertionError("spill pass re-ran on resume")
+
+    monkeypatch.setattr(spill_mod, "spill_postings", no_spill)
+    meta = build_index(lambda: transcripts_dataset(N_CONV), idx,
+                       input_token=f"synthetic:n={N_CONV}", resume=True)
+    assert meta["phase_sec"]["spill"] == 0.0
+    se = IndexSearcher(idx)
+    for qid, q, k in query_set():
+        d1, s1 = se.search(q, k)
+        d2, s2 = oracle.search(q, k)
+        assert list(d1) == list(d2) and list(s1) == list(s2), qid
+    shutil.rmtree(idx, ignore_errors=True)

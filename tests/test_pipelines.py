@@ -204,3 +204,24 @@ def test_ivf_cosine_recall_anchor(entrymod):
     for q, v, s in zip(ivf["query_vec_id"], ivf["vec_id"], ivf["sim"]):
         if (int(q), int(v)) in ex:
             assert abs(ex[(int(q), int(v))] - s) < 1e-9
+
+
+def test_minhash_anchor_vs_exact(entrymod):
+    """MinHash+LSH banding anchored to the exact Jaccard sibling: pairs
+    with true J ≥ 0.7 are recalled at ≥ 0.9 (expected ≈0.99 at 16 bands ×
+    4 rows), and signature estimates track true Jaccard within 0.25."""
+    from open_source_search_engine_ray.pipelines import dedup
+
+    exact = dedup.ngram_jaccard_pairs(SF).to_pandas()
+    mh = dedup.minhash_lsh_pairs(SF).to_pandas()
+    mh_keys = {(int(a), int(b)): e for a, b, e in
+               zip(mh["doc_a"], mh["doc_b"], mh["est_jaccard"])}
+    high = exact[exact["jaccard"] >= 0.7]
+    assert len(high) > 0
+    found = sum((int(a), int(b)) in mh_keys
+                for a, b in zip(high["doc_a"], high["doc_b"]))
+    assert found >= 0.9 * len(high)
+    for a, b, j in zip(exact["doc_a"], exact["doc_b"], exact["jaccard"]):
+        est = mh_keys.get((int(a), int(b)))
+        if est is not None:
+            assert abs(est - j) <= 0.25, (a, b, j, est)
