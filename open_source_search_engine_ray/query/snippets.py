@@ -83,6 +83,96 @@ def _best_turn_snippet(turns: list[tuple[int, str, str]],
     return out, role, turn_idx
 
 
+def export_snippets(index_dir: str, queries: list[tuple[str, str, int]],
+                    concurrency: int = 4, join_partitions: int = 16):
+    """Distributed batch snippet export — the scale path for bulk result
+    pages (the driver-side :func:`search_with_snippets` loop is fine for
+    one query's top-10; exporting thousands of result pages needs the
+    regex/highlight work inside workers):
+
+    1. the query set evaluates through the ``QueryEvalStage`` actor pool;
+    2. hits hash-join against the doc-store turns on doc_id (reduce-side
+       join — no driver materialization of either side);
+    3. ``groupby(query_id, doc_id).map_groups`` assembles each result's
+       best-turn snippet with the per-query term sets broadcast once.
+
+    → Dataset (query_id, rank, doc_id, conv_id, score, snippet,
+    snippet_role, snippet_turn_idx), equal to the driver-side pages
+    (asserted in tests).
+    """
+    import os
+
+    import ray
+    import ray.data
+
+    from ..index.merge import gen_dir, read_generations
+    from .engine import IndexSearcher, evaluate_queries_distributed
+
+    se = IndexSearcher(index_dir)
+    qterms = {}
+    for qid, q, k in queries:
+        pq_ = parse_query(q, se.config.bigram_weight)
+        qterms[qid] = {t.term_id for t in pq_.terms if not t.negative}
+    qterms_ref = ray.put(qterms)
+
+    hits = evaluate_queries_distributed(index_dir, queries,
+                                        concurrency=concurrency)
+    hits = hits.map_batches(
+        lambda b: pa.table({
+            "query_id": pa.array(b["query_id"].astype(str)),
+            "rank": pa.array(b["rank"].to_numpy().astype(np.int32)),
+            "doc_id": pa.array(b["doc_id"].to_numpy().astype(np.int64)),
+            "score": pa.array(b["score"].to_numpy().astype(np.float64)),
+        }), batch_format="pandas").materialize()
+
+    gens = read_generations(index_dir)
+    parts = []
+    for g in gens["generations"]:
+        d = os.path.join(gen_dir(index_dir, g["gen"]), "docstore")
+        gen_no = int(g["gen"])
+
+        def tag(b: pa.Table, _g=gen_no) -> pa.Table:
+            b = b.set_column(
+                b.schema.get_field_index("doc_id"), "doc_id",
+                pa.array(b["doc_id"].to_numpy().astype(np.int64)))
+            return b.append_column("gen", pa.array(
+                np.full(b.num_rows, _g, dtype=np.int32)))
+
+        parts.append(ray.data.read_parquet(
+            d, columns=["doc_id", "conv_id", "turn_idx", "role", "text"])
+            .map_batches(tag, batch_format="pyarrow"))
+    store = parts[0]
+    for p in parts[1:]:
+        store = store.union(p)
+    store = store.materialize()
+
+    joined = hits.join(store, "inner", join_partitions, on=("doc_id",))
+
+    def build_page_row(g: pa.Table) -> pa.Table:
+        qt = ray.get(qterms_ref)
+        qid = g["query_id"][0].as_py()
+        terms = qt.get(qid, set())
+        gen_col = g["gen"].to_numpy()
+        newest = gen_col == gen_col.max()   # update semantics: newest wins
+        turns = sorted(zip(np.asarray(g["turn_idx"].to_pylist())[newest],
+                           np.asarray(g["role"].to_pylist())[newest],
+                           np.asarray(g["text"].to_pylist())[newest]))
+        snippet, role, tix = _best_turn_snippet(turns, terms)
+        return pa.table({
+            "query_id": pa.array([qid], pa.string()),
+            "rank": pa.array([g["rank"][0].as_py()], pa.int32()),
+            "doc_id": pa.array([g["doc_id"][0].as_py()], pa.int64()),
+            "conv_id": pa.array([g["conv_id"][0].as_py()], pa.string()),
+            "score": pa.array([g["score"][0].as_py()], pa.float64()),
+            "snippet": pa.array([snippet], pa.string()),
+            "snippet_role": pa.array([role], pa.string()),
+            "snippet_turn_idx": pa.array([tix], pa.int32()),
+        })
+
+    return joined.groupby(["query_id", "doc_id"]).map_groups(
+        build_page_row, batch_format="pyarrow")
+
+
 def _summary_tokens(snippet: str) -> set:
     text = snippet.replace("<b>", "").replace("</b>", "")
     toks, _, _ = tokenize(text)

@@ -156,3 +156,18 @@ def test_mismatched_partitioning_rejected(incr_index):
             incr_index, lambda: transcripts_dataset_range(900, 905),
             input_token="incr:badcfg",
             config=IndexConfig(num_partitions=7))
+
+
+def test_export_snippets_multi_generation(incr_index):
+    """Distributed snippet export applies newest-generation-wins over the
+    multi-generation doc store (same pages as the driver-side path, which
+    resolves generations via _docstore_rows)."""
+    from open_source_search_engine_ray.query.snippets import (
+        export_snippets, search_with_snippets)
+
+    dist = (export_snippets(incr_index, [("q1", "w0042", 5)])
+            .to_pandas().sort_values("rank").reset_index(drop=True))
+    want = search_with_snippets(incr_index, "w0042", 5).to_pandas()
+    assert dist["doc_id"].astype(int).tolist() == \
+        want["doc_id"].astype(int).tolist()
+    assert dist["snippet"].tolist() == want["snippet"].tolist()

@@ -89,3 +89,21 @@ def test_result_page_dedup_and_cluster_cap(dup_index):
     assert sum(c.startswith("half-") for c in convs) == 2
     assert "solo-1" in convs and "solo-2" in convs
     assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
+
+
+def test_export_snippets_distributed_matches_driver(snip_index):
+    """The distributed batch snippet export (hash join + grouped snippet
+    assembly in workers) produces exactly the driver-side result pages."""
+    from open_source_search_engine_ray.query.snippets import export_snippets
+
+    queries = [("qa", "w0002", 5), ("qb", "roleonlyterm_assistant", 3)]
+    dist = export_snippets(snip_index, queries).to_pandas()
+    for qid, q, k in queries:
+        want = search_with_snippets(snip_index, q, k).to_pandas()
+        got = (dist[dist.query_id == qid]
+               .sort_values("rank").reset_index(drop=True))
+        assert got["doc_id"].astype(int).tolist() == \
+            want["doc_id"].astype(int).tolist(), qid
+        assert got["snippet"].tolist() == want["snippet"].tolist(), qid
+        assert got["snippet_role"].tolist() == \
+            want["snippet_role"].tolist(), qid
