@@ -171,3 +171,32 @@ def test_export_snippets_multi_generation(incr_index):
     assert dist["doc_id"].astype(int).tolist() == \
         want["doc_id"].astype(int).tolist()
     assert dist["snippet"].tolist() == want["snippet"].tolist()
+
+
+def test_salt_all_incremental_lifecycle(ray_session):
+    """Doc-partitioned mode (salt_all_terms) through the full lifecycle:
+    append generation, tombstone, revive — rank-identical to the oracle
+    over the live corpus (multi-gen salted merge + per-gen filtering)."""
+    from open_source_search_engine_ray.config import IndexConfig
+
+    idx = IDX + "_sainc"
+    shutil.rmtree(idx, ignore_errors=True)
+    cfg = IndexConfig(salt_all_terms=True, num_salts=4)
+    build_index(lambda: transcripts_dataset(150), idx, cfg,
+                input_token="sainc:base")
+    add_documents(idx, lambda: transcripts_dataset_range(150, 200),
+                  input_token="sainc:add")
+    dead = [f"conv-{i:08d}" for i in range(5, 15)]
+    delete_convs(idx, dead)
+    add_documents(idx, lambda: transcripts_dataset_range(7, 8),
+                  input_token="sainc:revive")   # revive conv 7
+    live_idx = [i for i in range(200) if not (5 <= i < 15) or i == 7]
+    oracle = OracleIndex(generate_conv_rows(np.asarray(live_idx)),
+                         config=cfg)
+    se = IndexSearcher(idx)
+    assert se.n_docs == oracle.n_docs and se.avgdl == oracle.avgdl
+    for qid, q, k in query_set():
+        d1, s1 = se.search(q, k)
+        d2, s2 = oracle.search(q, k)
+        assert list(d1) == list(d2) and list(s1) == list(s2), qid
+    shutil.rmtree(idx, ignore_errors=True)
