@@ -90,27 +90,45 @@ JOIN_PARTITIONS = 16
 PAIR_BLOCK = 4096                    # bounds any one triu allocation
 
 
-def _exploded_shingle_hashes(sf_dir: str):
-    """documents → distinct (doc_id, sh) rows, sh = 63-bit shingle hash.
-    Hashing shrinks the shuffle payload; a 63-bit collision merging two
-    distinct shingles is ~2^-63 per pair and accepted (standard for
-    shingle-set dedup)."""
-    def explode(batch: pa.Table) -> pa.Table:
-        docs, sh = [], []
-        for d, t in zip(batch["doc_id"].to_numpy(),
-                        batch["text"].to_pylist()):
-            ss = list(set(_shingles(t)))
-            if not ss:
-                continue
-            hs = np.unique(
-                (hash64_batch([s.encode() for s in ss]) & MASK63)
-                .astype(np.int64))
-            docs.extend([int(d)] * len(hs))
-            sh.extend(hs.tolist())
-        return pa.table({"doc_id": pa.array(docs, pa.int64()),
-                         "sh": pa.array(sh, pa.int64())})
+SKETCH_BINS = 1 << 20   # 4 MB uint32 broadcast, independent of corpus size
 
-    return _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+def _doc_shingle_hashes(text: str) -> np.ndarray:
+    ss = list(set(_shingles(text)))
+    if not ss:
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(
+        (hash64_batch([s.encode() for s in ss]) & MASK63).astype(np.int64))
+
+
+def _df_sketch(sf_dir: str) -> np.ndarray:
+    """Approximate per-shingle doc frequencies: a single hashed counter
+    array built from sparse per-block partials (map_batches → one
+    groupby(bin) Sum), densified driver-side.  Collisions only OVERcount
+    — a shingle may sort later than its true df, never earlier, which for
+    the prefix heuristic is the safe direction."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = np.zeros(SKETCH_BINS, dtype=np.int64)
+        for t in batch["text"].to_pylist():
+            hs = _doc_shingle_hashes(t)
+            if len(hs):
+                np.add.at(counts,
+                          (hs.astype(np.uint64) % np.uint64(SKETCH_BINS))
+                          .astype(np.int64), 1)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "c": pa.array(counts[nz], pa.int64())})
+
+    sparse = (_read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+              .groupby("bin").aggregate(Sum("c", alias_name="c"))
+              .materialize())
+    sketch = np.zeros(SKETCH_BINS, dtype=np.uint32)
+    for b in sparse.iter_batches(batch_format="pyarrow", batch_size=65536):
+        sketch[b["bin"].to_numpy()] = np.minimum(
+            b["c"].to_numpy(), np.iinfo(np.uint32).max).astype(np.uint32)
+    return sketch
 
 
 _T = JACCARD_THRESHOLD
@@ -214,32 +232,52 @@ def ngram_jaccard_pairs(sf_dir: str):
     # one streaming execution starve each other below ~8 CPUs — so join
     # inputs/outputs are materialized (spillable, same data the shuffle
     # would pin anyway)
-    exploded = _exploded_shingle_hashes(sf_dir).materialize()
-    df_ds = exploded.groupby("sh").aggregate(
-        Count(alias_name="df")).materialize()
-    with_df = exploded.join(df_ds, "inner", JOIN_PARTITIONS,
-                            on=("sh",)).materialize()
+    #
+    # Prefix ordering uses an APPROXIMATE df sketch instead of an exact
+    # per-shingle df join: prefix-filter EXACTNESS needs only a total
+    # order on shingles that every doc applies CONSISTENTLY — df ordering
+    # is purely the skew heuristic (keep boilerplate out of prefixes), and
+    # a 2^20-bin count sketch (4 MB broadcast, size independent of corpus)
+    # orders hot shingles late just as well.  This removes the exploded→df
+    # join AND the per-doc groupby: prefixes come straight off a second
+    # document scan.
+    sketch = _df_sketch(sf_dir)
+    import ray
+    sketch_ref = ray.put(sketch)
 
-    def prefix_rows(group: pa.Table) -> pa.Table:
-        # NOTE all group fns emit ARROW blocks: Ray's hash shuffle /
-        # aggregate is ~17× slower over pandas blocks (measured)
-        sh = group["sh"].to_numpy()
-        dfv = group["df"].to_numpy()
-        n = len(sh)
-        order = np.lexsort((sh, dfv))
-        plen = n - int(np.ceil(JACCARD_THRESHOLD * n)) + 1
-        sel = order[:plen]
-        return pa.table({
-            "sh": pa.array(sh[sel], pa.int64()),
-            "doc_id": pa.array(np.full(len(sel), group["doc_id"][0].as_py(),
-                               dtype=np.int64)),
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        sk = ray.get(sketch_ref)
+        out_sh, out_doc, out_p, out_n = [], [], [], []
+        for d, t in zip(batch["doc_id"].to_numpy(),
+                        batch["text"].to_pylist()):
+            hs = _doc_shingle_hashes(t)
+            n = len(hs)
+            if n == 0:
+                continue
+            order = np.lexsort((hs, sk[(hs.astype(np.uint64)
+                                        % np.uint64(SKETCH_BINS))
+                                       .astype(np.int64)]))
+            plen = n - int(np.ceil(JACCARD_THRESHOLD * n)) + 1
+            sel = order[:plen]
+            out_sh.append(hs[sel])
+            out_doc.append(np.full(plen, int(d), dtype=np.int64))
             # 0-based position of the shingle in the doc's global order
             # and the doc's set size — the PPJoin positional filter needs
             # both (Xiao et al., WWW'08 §3.2)
-            "p": pa.array(np.arange(len(sel), dtype=np.int64)),
-            "n": pa.array(np.full(len(sel), n, dtype=np.int64))})
+            out_p.append(np.arange(plen, dtype=np.int64))
+            out_n.append(np.full(plen, n, dtype=np.int64))
+        if not out_sh:
+            return pa.table({"sh": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "sh": pa.array(np.concatenate(out_sh), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_doc)),
+            "p": pa.array(np.concatenate(out_p)),
+            "n": pa.array(np.concatenate(out_n))})
 
-    prefixes = with_df.groupby("doc_id").map_groups(
+    prefixes = _read_docs(sf_dir).map_batches(
         prefix_rows, batch_format="pyarrow").materialize()
     # most prefix shingles occur in exactly one doc → no pairs; drop them
     # BEFORE the per-group pairing stage with a vectorized count + semi
@@ -259,16 +297,28 @@ def ngram_jaccard_pairs(sf_dir: str):
             .groupby(["doc_a", "doc_b"])
             .aggregate(Count(alias_name="_nb")).materialize())
 
-    def set_rows(group: pa.Table) -> pa.Table:
-        # the set rides through the hash join as a binary blob (Arrow's
-        # join doesn't take list payloads)
-        sh = np.sort(group["sh"].to_numpy().astype("<i8"))
-        return pa.table({
-            "doc_id": pa.array([group["doc_id"][0].as_py()], pa.int64()),
-            "shs": pa.array([sh.tobytes()], pa.binary()),
-            "n": pa.array([len(sh)], pa.int64())})
+    def set_rows(batch: pa.Table) -> pa.Table:
+        # per-doc sorted shingle-hash blobs straight from the document
+        # scan (re-shingling is cheap CPU; a groupby(doc) shuffle + one
+        # Python call per doc is not).  The set rides through the hash
+        # join as a binary blob (Arrow's join doesn't take list payloads).
+        ids, blobs, ns = [], [], []
+        for d, t in zip(batch["doc_id"].to_numpy(),
+                        batch["text"].to_pylist()):
+            ss = list(set(_shingles(t)))
+            if not ss:
+                continue
+            hs = np.unique(
+                (hash64_batch([s.encode() for s in ss]) & MASK63)
+                .astype("<i8"))
+            ids.append(int(d))
+            blobs.append(hs.tobytes())
+            ns.append(len(hs))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "shs": pa.array(blobs, pa.binary()),
+                         "n": pa.array(ns, pa.int64())})
 
-    sets = exploded.groupby("doc_id").map_groups(
+    sets = _read_docs(sf_dir).map_batches(
         set_rows, batch_format="pyarrow").materialize()
     j1 = cand.join(sets, "inner", JOIN_PARTITIONS,
                    on=("doc_a",), right_on=("doc_id",),
