@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
         "parts_profit_by_nation": relational.parts_profit_by_nation,
+        "customers_without_orders": relational.customers_without_orders,
+        "top_parts_per_brand": relational.top_parts_per_brand,
         "events_hourly_window": relational.events_hourly_window,
         "events_sessionize": relational.events_sessionize,
     }
@@ -100,6 +102,9 @@ def oracle_sql() -> dict[str, str]:
             relational.lineitem_pricing_summary_sql(),
         "orders_by_nation": relational.orders_by_nation_sql(),
         "parts_profit_by_nation": relational.parts_profit_by_nation_sql(),
+        "customers_without_orders":
+            relational.customers_without_orders_sql(),
+        "top_parts_per_brand": relational.top_parts_per_brand_sql(),
         "events_hourly_window": relational.events_hourly_window_sql(),
         "events_sessionize": relational.events_sessionize_sql(),
     }

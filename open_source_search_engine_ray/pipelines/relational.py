@@ -213,6 +213,105 @@ ORDER BY n.n_name, p.p_brand
 """
 
 
+def customers_without_orders(sf_dir: str):
+    """TPC-H Q22-flavored ANTI-JOIN: customers with no URGENT orders,
+    aggregated per nation.  The anti side (distinct urgent-order custkeys)
+    streams through a hash left-anti join — no driver materialization of
+    either table; the 25-row nation dim is the only broadcast."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"]).materialize()
+    okeys = (_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+             .map_batches(lambda b: b.filter(
+                 pc.equal(b["o_orderpriority"], "1-URGENT")),
+                 batch_format="pyarrow")
+             .groupby("o_custkey").aggregate(Count(alias_name="_n"))
+             .materialize())
+    no_orders = cust.join(okeys, "left_anti", 8,
+                          on=("c_custkey",), right_on=("o_custkey",))
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    ref = ray.put(nname)
+
+    def attach(b: pa.Table) -> pa.Table:
+        nn = ray.get(ref)
+        cents = np.rint(b["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({
+            "n_name": pa.array(
+                [nn.get(int(k), "UNKNOWN")
+                 for k in b["c_nationkey"].to_numpy()], pa.string()),
+            "bal_cents": pa.array(cents),
+        })
+
+    agg = (no_orders.map_batches(attach, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Count(alias_name="n_customers"),
+                      Sum("bal_cents", alias_name="sum_cents")))
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": b["n_name"],
+            "n_customers": b["n_customers"],
+            "sum_acctbal": pc.divide(
+                pc.cast(b["sum_cents"], pa.float64()), pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def customers_without_orders_sql() -> str:
+    return """
+SELECT n.n_name, count(*) AS n_customers,
+       sum(round(c.c_acctbal * 100)::BIGINT) / 100.0 AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+def top_parts_per_brand(sf_dir: str):
+    """Top-2 parts per brand by retail price (ties by part key) — the
+    top-k-per-group / window-function operator class, expressed as a
+    keyed groupby with a vectorized in-group sort (brands are a small,
+    balanced key space; at scale a per-partition partial top-k before the
+    shuffle caps group size)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+
+    def topk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["p_retailprice", "p_partkey"],
+                          ascending=[False, True]).head(2)
+        return pa.table({
+            "p_brand": pa.array(g["p_brand"].tolist(), pa.string()),
+            "brand_rank": pa.array(
+                np.arange(1, len(g) + 1, dtype=np.int64)),
+            "p_partkey": pa.array(
+                g["p_partkey"].to_numpy().astype(np.int64)),
+            "p_retailprice": pa.array(
+                np.round(g["p_retailprice"].to_numpy(), 2), pa.float64()),
+        })
+
+    return ds.groupby("p_brand").map_groups(topk, batch_format="pandas")
+
+
+def top_parts_per_brand_sql() -> str:
+    return """
+SELECT p_brand,
+       row_number() OVER (PARTITION BY p_brand
+                          ORDER BY p_retailprice DESC, p_partkey) AS brand_rank,
+       p_partkey, round(p_retailprice, 2) AS p_retailprice
+FROM part
+QUALIFY brand_rank <= 2
+ORDER BY p_brand, brand_rank
+"""
+
+
 def events_hourly_window(sf_dir: str):
     """Tumbling 1h windows per event_type: (window_start epoch-seconds,
     event_type, n_events, sum_value) — the streaming windowed-aggregate

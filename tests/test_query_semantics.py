@@ -157,3 +157,78 @@ def test_per_language_query_stopwords():
     assert sorted(orc.doc_to_conv[int(d)] for d in docs_en) == ["G1"]
     docs_de, _ = orc.search("der fuchs", 10, lang="de")
     assert sorted(orc.doc_to_conv[int(d)] for d in docs_de) == ["G1", "G2"]
+
+
+def test_boolean_tree_random_expressions():
+    """Property test: 200 random boolean expression trees rendered to
+    query strings must match an independent set-semantics evaluator over
+    the corpus (AND = intersection with anti-joined negations and no
+    pure-negative matches, OR = union, NOT = exclusion)."""
+    import random
+
+    pool = ["apple", "banana", "cherry", "date", "fig", "grape"]
+    rng = random.Random(1234)
+    rows = []
+    for i in range(40):
+        k = rng.randint(2, 6)
+        rows.append((f"D{i:02d}", 0, "user",
+                     " ".join(rng.sample(pool, k))))
+    orc = OracleIndex(_mk(rows))
+    docsets = {c: set(t.split()) for c, _, _, t in rows}
+
+    def gen(depth):
+        r = rng.random()
+        if depth >= 3 or r < 0.4:
+            return ("t", rng.choice(pool))
+        if r < 0.6:
+            return ("and", [gen(depth + 1) for _ in range(rng.randint(2, 3))])
+        if r < 0.85:
+            return ("or", [gen(depth + 1) for _ in range(rng.randint(2, 3))])
+        return ("not", gen(depth + 1))
+
+    def render(node):
+        kind = node[0]
+        if kind == "t":
+            return node[1]
+        if kind == "and":
+            return "(" + " ".join(render(c) for c in node[1]) + ")"
+        if kind == "or":
+            return "(" + " OR ".join(render(c) for c in node[1]) + ")"
+        return "-" + render(("and", [node[1]]))
+
+    def ev(node, convs):
+        kind = node[0]
+        if kind == "t":
+            return {c for c in convs if node[1] in docsets[c]}
+        if kind == "or":
+            out = set()
+            for c in node[1]:
+                out |= ev(c, convs)
+            return out
+        if kind == "and":
+            pos = [c for c in node[1] if c[0] != "not"]
+            neg = [c[1] for c in node[1] if c[0] == "not"]
+            if not pos:
+                return set()          # pure-negative AND matches nothing
+            cand = ev(pos[0], convs)
+            for c in pos[1:]:
+                cand &= ev(c, convs)
+            for c in neg:
+                cand -= ev(c, convs)
+            return cand
+        return set()                   # bare NOT at this level
+
+    all_convs = set(docsets)
+    n_nonempty = 0
+    for trial in range(200):
+        tree = ("and", [gen(0) for _ in range(rng.randint(1, 3))])
+        q = render(tree)[1:-1]        # strip outer parens, keep inner ones
+        if "(" not in q:
+            q = "(" + q + ")"         # force the tree-parser route
+            tree = ("and", [tree])
+        want = ev(tree, all_convs)
+        docs, _ = orc.search(q, 100)
+        got = {orc.doc_to_conv[int(d)] for d in docs}
+        assert got == want, (trial, q, sorted(got), sorted(want))
+        n_nonempty += bool(want)
+    assert n_nonempty > 50
