@@ -244,6 +244,57 @@ class IndexSearcher:
         total = int(len(candidate_docs(pq_, lists))) if with_total else None
         return docs[offset:offset + k], scores[offset:offset + k], total
 
+    def explain(self, query: str, k: int = 10) -> dict:
+        """Query plan inspection (the PageStats/&debug=1 analogue): parsed
+        terms with per-term df/idf, phrase chains, OR units, boolean tree,
+        and which evaluation path :func:`kernel.evaluate` will take."""
+        from ..functions.bm25 import idf as bm25_idf
+        from .kernel import IMPACT_UNION_MIN_POSTINGS
+
+        pq_ = parse_query(query, self.config.bigram_weight)
+        lists = self._lists_for(pq_)
+        terms = []
+        for t in pq_.terms:
+            tp = lists.get(t.term_id)
+            terms.append({
+                "token": t.token, "term_id": t.term_id,
+                "required": t.required, "negative": t.negative,
+                "is_bigram": t.is_bigram, "field": t.field,
+                "weight": t.weight,
+                "df": int(tp.df) if tp else 0,
+                "idf": float(bm25_idf(tp.df, self.n_docs)) if tp else None,
+            })
+        positives = [t for t in pq_.terms
+                     if not t.negative and not t.is_bigram]
+        dfs = [lists[t.term_id].df for t in positives
+               if lists.get(t.term_id) is not None]
+        if pq_.bool_tree is not None:
+            path = "boolean-tree"
+        elif pq_.phrases or pq_.neg_phrases or pq_.or_groups:
+            path = "exact (phrase/or-unit filters)"
+        elif len(pq_.terms) == 1 and dfs:
+            path = ("impact-ordered single-term"
+                    if dfs[0] > IMPACT_UNION_MIN_POSTINGS
+                    else "block-max single-term"
+                    if dfs[0] > 4 * k else "exact")
+        elif (len(positives) > 1 and dfs
+                and not any(t.required for t in positives)
+                and not any(t.negative for t in pq_.terms)):
+            if max(dfs) > 8 * min(dfs):
+                path = "MaxScore disjunction"
+            elif sum(dfs) > IMPACT_UNION_MIN_POSTINGS:
+                path = "impact-ordered union"
+            else:
+                path = "exact"
+        else:
+            path = "exact (required-unit intersection)"
+        return {
+            "query": query, "n_docs": self.n_docs, "avgdl": self.avgdl,
+            "terms": terms, "phrases": pq_.phrases,
+            "neg_phrases": pq_.neg_phrases, "or_groups": pq_.or_groups,
+            "bool_tree": pq_.bool_tree, "eval_path": path,
+        }
+
     def search_table(self, query: str, k: int = 10) -> pa.Table:
         docs, scores = self.search(query, k)
         return pa.table({

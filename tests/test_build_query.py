@@ -352,3 +352,16 @@ def test_resume_skips_spill_after_encode_crash(ray_session, monkeypatch,
         d2, s2 = oracle.search(q, k)
         assert list(d1) == list(d2) and list(s1) == list(s2), qid
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_explain(built_index):
+    """explain() reports per-term stats and the chosen evaluation path."""
+    se = IndexSearcher(IDX)
+    e = se.explain("w0042 w0777")
+    assert e["n_docs"] == N_CONV and len(e["terms"]) >= 2
+    toks = {t["token"]: t for t in e["terms"]}
+    assert toks["w0042"]["df"] > 0 and toks["w0042"]["idf"] is not None
+    assert e["eval_path"].startswith("exact")
+    assert se.explain('"w0042 w0777"')["phrases"]
+    assert se.explain("(w0042 OR w0777)")["eval_path"] == "boolean-tree"
+    assert "single-term" in se.explain("w0002")["eval_path"]
