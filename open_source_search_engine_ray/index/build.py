@@ -109,26 +109,32 @@ def estimate_hot_terms(transcripts_ds, config: IndexConfig,
     """
     from ..functions.ghash import hash64_batch
 
-    n_rows = transcripts_ds.count()  # metadata-cheap for parquet sources
-    mod = int(np.clip(n_rows // max(1, sample_turns), 1, 16))
+    MOD = 16
 
     def thin(b: pa.Table) -> pa.Table:
-        # deterministic 1/mod row sample keyed on (conv_id, turn_idx) —
+        # deterministic 1/16 row sample keyed on (conv_id, turn_idx) —
         # independent of batch/block boundaries, so the sample is stable
-        # across parallelism levels; mod grows with the corpus so the
-        # sample spans ~mod× more blocks than a prefix would
+        # across parallelism levels, and it spans ~16× more blocks of the
+        # randomized order than a prefix would
         keys = [f"{c}\x1f{t}".encode() for c, t in
                 zip(b["conv_id"].to_pylist(), b["turn_idx"].to_pylist())]
-        keep = hash64_batch(keys) % np.uint64(mod) == 0
+        keep = hash64_batch(keys) % np.uint64(MOD) == 0
         return b.filter(pa.array(keep))
 
+    # no count() pre-pass: counting would fully execute non-parquet input
+    # pipelines; instead try the thinned sample and fall back to an
+    # unthinned one when the corpus is too small to survive thinning
     ds = transcripts_ds.randomize_block_order(seed=0xB10C)
-    if mod > 1:
-        ds = ds.map_batches(thin, batch_format="pyarrow")
     try:
-        batch = ds.take_batch(sample_turns, batch_format="pyarrow")
-    except ValueError:   # empty dataset
-        return np.zeros(0, dtype=np.uint64)
+        batch = (ds.map_batches(thin, batch_format="pyarrow")
+                 .take_batch(sample_turns, batch_format="pyarrow"))
+    except ValueError:
+        batch = None
+    if batch is None or len(batch["text"]) < sample_turns // 4:
+        try:
+            batch = ds.take_batch(sample_turns, batch_format="pyarrow")
+        except ValueError:   # empty dataset
+            return np.zeros(0, dtype=np.uint64)
     texts = [t or "" for t in batch["text"].to_pylist()]
     if not texts:
         return np.zeros(0, dtype=np.uint64)
@@ -542,6 +548,11 @@ def build_index(transcripts_ds_factory, out_dir: str,
     import ray
 
     config = config or IndexConfig()
+    if config.salt_all_terms and config.build_strategy != "spill":
+        # the groupby strategy attaches dl via broadcast and samples hot
+        # terms — neither belongs in doc-partitioned mode, and a mixed
+        # layout would corrupt compaction
+        raise ValueError("salt_all_terms requires build_strategy='spill'")
     fingerprint = _fingerprint(input_token, config)
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.time()

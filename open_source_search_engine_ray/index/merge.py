@@ -90,12 +90,14 @@ def add_documents(out_dir: str, transcripts_ds_factory, *,
     # across generations, so the partition layout must match the base index
     base_cfg = base_meta["config"]
     if (cfg.num_partitions != base_cfg["num_partitions"]
-            or cfg.num_salts != base_cfg["num_salts"]):
+            or cfg.num_salts != base_cfg["num_salts"]
+            or cfg.salt_all_terms != bool(base_cfg.get("salt_all_terms"))):
         raise ValueError(
             "add_documents: generation partitioning must match the base "
             f"index (base num_partitions={base_cfg['num_partitions']} "
-            f"num_salts={base_cfg['num_salts']}, got "
-            f"{cfg.num_partitions}/{cfg.num_salts})")
+            f"num_salts={base_cfg['num_salts']} "
+            f"salt_all={bool(base_cfg.get('salt_all_terms'))}, got "
+            f"{cfg.num_partitions}/{cfg.num_salts}/{cfg.salt_all_terms})")
     meta = build_index(transcripts_ds_factory, sub, cfg,
                        input_token=input_token)
     gens["generations"].append({"gen": new_gen,
@@ -430,13 +432,17 @@ def compact_merge(out_dir: str) -> dict:
         gen_infos.append((gen, d, sorted(m["hot_terms"]),
                           m["num_partitions"], m["num_salts"]))
         hot_union.update(m["hot_terms"])
+        gen_salt_all = bool(m["config"].get("salt_all_terms"))
         if (m["num_partitions"] != cfg.num_partitions
-                or m["num_salts"] != cfg.num_salts):
+                or m["num_salts"] != cfg.num_salts
+                or gen_salt_all != cfg.salt_all_terms):
             raise ValueError(
                 f"compact_merge: generation {gen} partitioning "
-                f"({m['num_partitions']}/{m['num_salts']}) differs from the "
-                f"base index ({cfg.num_partitions}/{cfg.num_salts}); "
-                "rebuild with compact() instead")
+                f"({m['num_partitions']}/{m['num_salts']}"
+                f"/salt_all={gen_salt_all}) differs from the base index "
+                f"({cfg.num_partitions}/{cfg.num_salts}"
+                f"/salt_all={cfg.salt_all_terms}); rebuild with compact() "
+                "instead")
     union_hot = np.asarray(sorted(hot_union), dtype=np.uint64)
 
     new_dir = out_dir + ".compacting"

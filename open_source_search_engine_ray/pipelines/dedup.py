@@ -87,7 +87,7 @@ def _shingles(text: str) -> list[str]:
 
 MASK63 = np.uint64((1 << 63) - 1)   # Ray groupby needs int64-safe keys
 JOIN_PARTITIONS = 16
-PAIR_BLOCK = 4096                    # bounds any one triu allocation
+PAIR_BLOCK = 4096    # max tile edge for pair generation (memory bound)
 
 
 SKETCH_BINS = 1 << 20   # 4 MB uint32 broadcast, independent of corpus size
@@ -163,45 +163,28 @@ def _positional_filtered_pairs(group: pa.Table) -> pa.Table:
     docs, n, rem = docs[order], n[order], rem[order]
     outs_a, outs_b = [], []
     m = len(docs)
+    # tiled generation: every transient index array is at most
+    # PAIR_BLOCK × PAIR_BLOCK regardless of the (filtered) group size
     for s in range(0, m, PAIR_BLOCK):
         e = min(s + PAIR_BLOCK, m)
-        ii, jj = np.triu_indices(e - s, k=1)
-        ii = ii + s
-        jj = jj + s
-        if len(docs) > e:
-            rest = np.arange(e, m)
-            ii = np.concatenate([ii, np.repeat(np.arange(s, e), len(rest))])
-            jj = np.concatenate([jj, np.tile(rest, e - s)])
-        alpha = np.ceil(_T / (1 + _T) * (n[ii] + n[jj]))
-        ok = (np.minimum(rem[ii], rem[jj]) >= alpha) & (docs[ii] != docs[jj])
-        outs_a.append(docs[ii[ok]])
-        outs_b.append(docs[jj[ok]])
+        for c0 in range(s, m, PAIR_BLOCK):
+            c1 = min(c0 + PAIR_BLOCK, m)
+            if c0 == s:
+                ii, jj = np.triu_indices(e - s, k=1)
+                ii = ii + s
+                jj = jj + s
+            else:
+                ii = np.repeat(np.arange(s, e), c1 - c0)
+                jj = np.tile(np.arange(c0, c1), e - s)
+            alpha = np.ceil(_T / (1 + _T) * (n[ii] + n[jj]))
+            ok = (np.minimum(rem[ii], rem[jj]) >= alpha) \
+                & (docs[ii] != docs[jj])
+            outs_a.append(docs[ii[ok]])
+            outs_b.append(docs[jj[ok]])
     a = np.concatenate(outs_a)
     b = np.concatenate(outs_b)
     return pa.table({"doc_a": pa.array(np.minimum(a, b), pa.int64()),
                      "doc_b": pa.array(np.maximum(a, b), pa.int64())})
-
-
-def _blocked_triu_pairs(docs: np.ndarray) -> pd.DataFrame:
-    """All unordered pairs of ``docs`` (sorted ids, a<b), generated in
-    blocks so no single allocation is quadratic in the group size."""
-    docs = np.sort(docs)
-    n = len(docs)
-    if n < 2:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                             "doc_b": pd.Series([], dtype=np.int64)})
-    outs_a, outs_b = [], []
-    for s in range(0, n, PAIR_BLOCK):
-        blk = docs[s:s + PAIR_BLOCK]
-        a, b = np.triu_indices(len(blk), k=1)
-        outs_a.append(blk[a])
-        outs_b.append(blk[b])
-        rest = docs[s + PAIR_BLOCK:]
-        if len(rest):
-            outs_a.append(np.repeat(blk, len(rest)))
-            outs_b.append(np.tile(rest, len(blk)))
-    return pd.DataFrame({"doc_a": np.concatenate(outs_a),
-                         "doc_b": np.concatenate(outs_b)})
 
 
 def ngram_jaccard_pairs(sf_dir: str):

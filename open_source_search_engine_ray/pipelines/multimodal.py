@@ -94,15 +94,23 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise ValueError("not a P6 PPM")
     parts = []
     pos = 2
+    end = len(payload)
     while len(parts) < 3:
-        while pos < len(payload) and payload[pos:pos + 1].isspace():
+        while pos < end and payload[pos:pos + 1].isspace():
             pos += 1
+        if pos >= end:
+            raise ValueError("truncated PPM header")
         if payload[pos:pos + 1] == b"#":       # comment line
-            pos = payload.index(b"\n", pos) + 1
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PPM header")
+            pos = nl + 1
             continue
         start = pos
-        while not payload[pos:pos + 1].isspace():
+        while pos < end and not payload[pos:pos + 1].isspace():
             pos += 1
+        if pos >= end:
+            raise ValueError("truncated PPM header")
         parts.append(int(payload[start:pos]))
     pos += 1                                    # single whitespace after maxval
     w, h, _maxval = parts

@@ -263,9 +263,16 @@ def _train_ivf_centroids(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    batch = next(pf.iter_batches(batch_size=IVF_TRAIN_SAMPLE,
-                                 columns=["embedding"]))
-    x = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+    # spread the sample across the WHOLE file (a prefix would bias the
+    # quantizer on time/source-clustered corpora — same reasoning as the
+    # hot-term sampler): up to 8 row groups at evenly spaced positions,
+    # then an evenly strided row subsample
+    n_rg = pf.metadata.num_row_groups
+    picks = sorted(set(np.linspace(0, n_rg - 1, min(8, n_rg)).astype(int)))
+    tbl = pf.read_row_groups(picks, columns=["embedding"])
+    stride = max(1, tbl.num_rows // IVF_TRAIN_SAMPLE)
+    tbl = tbl.take(np.arange(0, tbl.num_rows, stride)[:IVF_TRAIN_SAMPLE])
+    x = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.default_rng(4321)
     cents = x[rng.choice(len(x), size=min(IVF_NLIST, len(x)),

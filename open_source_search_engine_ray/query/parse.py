@@ -105,8 +105,20 @@ def _parse_boolean_query(q: str) -> ParsedQuery:
     optionality don't apply inside boolean trees (the reference likewise
     evaluates boolean queries as pure set expressions over termlists)."""
     out = ParsedQuery(raw=q)
-    seen: set[int] = set()
+    seen: dict[int, QTerm] = {}
     quote_id = [0]
+
+    def add_term(tok, tid, negative, field_scope, qid=-1):
+        qt = seen.get(tid)
+        if qt is None:
+            qt = QTerm(tok, tid, False, negative, False, field_scope,
+                       1.0, qid)
+            seen[tid] = qt
+            out.terms.append(qt)
+        elif qt.negative and not negative:
+            # a term that ALSO appears positively anywhere must score —
+            # the first occurrence being under a NOT must not mute it
+            qt.negative = False
 
     # --- lexer ---
     toks: list[tuple[str, str]] = []   # (kind, text)
@@ -155,10 +167,7 @@ def _parse_boolean_query(q: str) -> ParsedQuery:
         wtoks, _, _ = tokenize(word)
         for tok in wtoks:
             tid = int(np.uint64(hash64_lower_utf8(tok)) & TERMID_MASK)
-            if tid not in seen:
-                seen.add(tid)
-                out.terms.append(QTerm(tok, tid, False, negative, False,
-                                       field_scope))
+            add_term(tok, tid, negative, field_scope)
             nodes.append(("term", tid, field_scope))
         return nodes
 
@@ -178,10 +187,7 @@ def _parse_boolean_query(q: str) -> ParsedQuery:
             quote_id[0] += 1
             for tok in wtoks:
                 tid = int(np.uint64(hash64_lower_utf8(tok)) & TERMID_MASK)
-                if tid not in seen:
-                    seen.add(tid)
-                    out.terms.append(QTerm(tok, tid, False, negative, False,
-                                           field_scope, 1.0, qid))
+                add_term(tok, tid, negative, field_scope, qid)
                 chain.append(tid)
             if len(chain) >= 2:
                 return ("phrase", chain)

@@ -232,3 +232,13 @@ def test_boolean_tree_random_expressions():
         assert got == want, (trial, q, sorted(got), sorted(want))
         n_nonempty += bool(want)
     assert n_nonempty > 50
+
+
+def test_boolean_tree_negated_then_positive_term_scores():
+    """A term first seen under NOT but also required positively must still
+    score (code-review r2 regression: the seen-dedup kept negative=True)."""
+    orc = OracleIndex(_mk([("A", 0, "user", "apple banana")]))
+    d1, s1 = orc.search("(-apple OR banana) apple", 10)
+    d2, s2 = orc.search("(banana) apple", 10)
+    assert list(d1) == list(d2)
+    assert list(s1) == list(s2)   # apple's BM25 contribution not muted
