@@ -8,8 +8,11 @@ The reference dedups at spider time by content hash
 large-corpus menu:
 
 - exact dedup (content-hash groupby; SQL-checkable via md5),
-- exact n-gram Jaccard pairs (shared-shingle join — SQL-checkable),
-- MinHash + LSH banding (approximate candidate generation + exact verify),
+- exact n-gram Jaccard pairs (prefix-filtered candidate join with the
+  PPJoin positional filter + distributed exact verify — SQL-checkable),
+- distributed connected components (min-label propagation) over the pair
+  graph,
+- MinHash + LSH banding (vectorized in-bucket comparison),
 - SimHash fingerprints.
 """
 
