@@ -369,10 +369,16 @@ def _build_fused_spill(transcripts_ds_factory, out_dir: str,
     if (resume and not [sh for sh in all_shards if sh not in done]
             and _stage_complete(out_dir, "docstats", fingerprint)
             and (not write_docstore or docstore_done)):
-        # everything complete for this fingerprint: reuse on-disk artifacts
-        _, doc_ids_sorted, dl32, dl_q = load_doc_stats(out_dir)
-        n_docs = len(doc_ids_sorted)
-        total_dlq = int(dl_q.sum())
+        # everything complete for this fingerprint: reuse on-disk
+        # artifacts.  Only the dl_q column is read — the full docstats
+        # table would be a whole-corpus driver materialization, which
+        # salt_all_terms mode exists to avoid
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(os.path.join(out_dir, "docstats"),
+                           format="parquet").to_table(columns=["dl_q"])
+        n_docs = tbl.num_rows
+        total_dlq = int(pa.compute.sum(tbl["dl_q"]).as_py())
         summary = [{"shard": sh, "n_terms": 0, "n_postings": 0,
                     "skipped": True} for sh in all_shards]
         return summary, {

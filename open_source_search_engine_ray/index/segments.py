@@ -59,8 +59,6 @@ def encode_shard(postings: pa.Table, config: IndexConfig, salt: int,
     tf = postings["tf"].to_numpy()                # int32
     dl = postings["dl"].to_numpy()                # float32
     pos_col = postings["positions"].combine_chunks()
-    if isinstance(pos_col, pa.ChunkedArray):
-        pos_col = pos_col.combine_chunks()
     pos_offsets = pos_col.offsets.to_numpy().astype(np.int64)
     pos_values = pos_col.values.to_numpy()        # int32
 
@@ -347,8 +345,6 @@ def decode_posting_table(tbl: pa.Table, with_positions: bool = True) -> dict:
     # per-field tfs: the fixed-size-list values concatenate row-major as
     # (row0 f0 | row0 f1 | ... | row1 f0 | ...); one decode, then gather
     tf_col = tbl["tf_blobs"].combine_chunks()
-    if isinstance(tf_col, pa.ChunkedArray):
-        tf_col = tf_col.combine_chunks()
     tf_cat, _ = _concat_binary(tf_col.values)
     tf_all = varbyte.decode(tf_cat).astype(np.int64)
     local = np.arange(total, dtype=np.int64) - post_offs[row_of_post]

@@ -369,7 +369,7 @@ ORDER BY doc_a, doc_b
 """
 
 
-def label_propagation_components(pairs_ds, max_rounds: int = 64):
+def label_propagation_components(pairs_ds, max_rounds: int = 4096):
     """Connected components over an edge Dataset (doc_a, doc_b) by
     distributed min-label propagation: each round every node takes the min
     of its own label and its neighbors' labels (hash join + groupby-min —
@@ -397,6 +397,7 @@ def label_propagation_components(pairs_ds, max_rounds: int = 64):
                       b["_m"].to_numpy()).astype(np.int64)),
               }), batch_format="pyarrow").materialize())
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         msgs = (edges.join(labels, "inner", JOIN_PARTITIONS,
                            on=("src",), right_on=("doc_id",))
@@ -411,8 +412,15 @@ def label_propagation_components(pairs_ds, max_rounds: int = 64):
                   .materialize())
         cur = labels.aggregate(Sum("cluster_id", alias_name="s"))["s"]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # silent truncation would return WRONG components; fail loudly
+        # (a component diameter over max_rounds needs pointer jumping)
+        raise RuntimeError(
+            f"label propagation did not converge within {max_rounds} "
+            "rounds — component diameter exceeds the cap")
     return labels
 
 

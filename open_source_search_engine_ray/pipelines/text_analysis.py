@@ -56,8 +56,13 @@ def token_stats(sf_dir: str):
     return _read_docs(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
+# whitespace is an EXPLICIT ASCII class: Python re's \s is Unicode-aware
+# while DuckDB's RE2 \s is ASCII-only — with \s the two sides disagree on
+# NBSP etc., breaking oracle parity on real-world text
+_WS = r"\t\n\f\r "
 _BPE_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d"
-                r"| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+")
+                r"| ?[a-zA-Z]+| ?[0-9]+"
+                rf"| ?[^a-zA-Z0-9{_WS}]+|[{_WS}]+")
 
 
 def bpe_token_count(sf_dir: str):

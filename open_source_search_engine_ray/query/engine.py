@@ -268,21 +268,30 @@ class IndexSearcher:
                      if not t.negative and not t.is_bigram]
         dfs = [lists[t.term_id].df for t in positives
                if lists.get(t.term_id) is not None]
+        # mirrors kernel.evaluate's guards exactly (incl. field / negative
+        # conditions) so the reported plan is the one that runs
+        single = positives[0] if len(pq_.terms) == 1 and positives else None
+        single_tp = lists.get(single.term_id) if single else None
         if pq_.bool_tree is not None:
             path = "boolean-tree"
         elif pq_.phrases or pq_.neg_phrases or pq_.or_groups:
             path = "exact (phrase/or-unit filters)"
-        elif len(pq_.terms) == 1 and dfs:
-            path = ("impact-ordered single-term"
-                    if dfs[0] > IMPACT_UNION_MIN_POSTINGS
-                    else "block-max single-term"
-                    if dfs[0] > 4 * k else "exact")
+        elif single is not None and single_tp is not None \
+                and single.field is None:
+            if single_tp.df > IMPACT_UNION_MIN_POSTINGS:
+                path = "impact-ordered single-term"
+            elif single_tp.block_max is not None and single_tp.df > 4 * k:
+                path = "block-max single-term"
+            else:
+                path = "exact"
         elif (len(positives) > 1 and dfs
                 and not any(t.required for t in positives)
                 and not any(t.negative for t in pq_.terms)):
+            scorable = [t for t in pq_.terms if not t.negative]
             if max(dfs) > 8 * min(dfs):
                 path = "MaxScore disjunction"
-            elif sum(dfs) > IMPACT_UNION_MIN_POSTINGS:
+            elif (sum(dfs) > IMPACT_UNION_MIN_POSTINGS
+                    and all(t.field is None for t in scorable)):
                 path = "impact-ordered union"
             else:
                 path = "exact"

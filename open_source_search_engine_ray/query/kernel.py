@@ -242,58 +242,79 @@ def _impact_ordered_union(scorable, lists, n_docs: int, avgdl: float,
         if tp is None or tp.df == 0:
             continue
         if tp.impact is None:
-            s = term_scores(_tf_weighted(tp, None, wq), tp.dl, avgdl,
+            tfw_full = _tf_weighted(tp, None, wq)
+            s = term_scores(tfw_full, tp.dl, avgdl,
                             config.k1, config.b, 1.0)
             order = np.argsort(-s, kind="stable").astype(np.int64)
-            tp.impact = (order, s[order])
+            # cache the idf-free weighted tf too — incremental scoring
+            # below must not recompute it over the full list every round
+            tp.impact = (order, s[order], tfw_full)
         terms.append((t, tp, float(bm25_idf(tp.df, n_docs)) * float(t.weight)))
     if not terms:
         return (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.float64))
 
-    consumed: list[np.ndarray] = []
-    cursors = [0] * len(terms)
-    while True:
-        exhausted = True
-        for i, (t, tp, iv) in enumerate(terms):
-            order, _ = tp.impact
-            c = cursors[i]
-            if c < len(order):
-                consumed.append(tp.doc_ids[order[c:c + chunk]])
-                cursors[i] = c + chunk
-                exhausted = exhausted and cursors[i] >= len(order)
-            # else exhausted stays as-is for this term
-        pool = np.unique(np.concatenate(consumed))
-        # remaining-impact bound: for each term, the impact of its next
-        # (unconsumed) entry; docs outside the pool score below the sum
-        theta = 0.0
-        for i, (t, tp, iv) in enumerate(terms):
-            order, s_sorted = tp.impact
-            c = cursors[i]
-            if c < len(order):
-                theta += float(s_sorted[c]) * iv
-        # exact canonical scoring of the pool (same float path as the
-        # exhaustive evaluator — scores are bit-identical per doc)
-        scores = np.zeros(len(pool), dtype=np.float64)
+    def score_docs(docs: np.ndarray) -> np.ndarray:
+        """Exact canonical scoring (same per-doc float path as the
+        exhaustive evaluator — term-at-a-time in expansion order)."""
+        scores = np.zeros(len(docs), dtype=np.float64)
         for t2 in scorable:
             tp2 = lists.get(t2.term_id)
             if tp2 is None or tp2.df == 0:
                 continue
-            idx = np.searchsorted(tp2.doc_ids, pool)
+            idx = np.searchsorted(tp2.doc_ids, docs)
             idx_c = np.minimum(idx, len(tp2.doc_ids) - 1)
-            present = tp2.doc_ids[idx_c] == pool
+            present = tp2.doc_ids[idx_c] == docs
             if present.any():
                 sel = idx_c[present]
-                tfw = _tf_weighted(tp2, None, wq)[sel]
+                tfw = (tp2.impact[2][sel] if tp2.impact is not None
+                       else _tf_weighted(tp2, None, wq)[sel])
                 iv2 = bm25_idf(tp2.df, n_docs)
                 scores[present] += np.float64(t2.weight) * term_scores(
                     tfw, tp2.dl[sel], avgdl, config.k1, config.b,
                     float(iv2))
+        return scores
+
+    # pool grows incrementally: each round scores ONLY newly seen docs and
+    # merges them into the sorted pool, so a run to exhaustion costs
+    # O(df·T) total scoring work, not O(df²/chunk)
+    pool = np.zeros(0, dtype=np.uint64)
+    pool_scores = np.zeros(0, dtype=np.float64)
+    cursors = [0] * len(terms)
+    while True:
+        exhausted = True
+        round_docs: list[np.ndarray] = []
+        for i, (t, tp, iv) in enumerate(terms):
+            order = tp.impact[0]
+            c = cursors[i]
+            if c < len(order):
+                round_docs.append(tp.doc_ids[order[c:c + chunk]])
+                cursors[i] = c + chunk
+                exhausted = exhausted and cursors[i] >= len(order)
+            # else exhausted stays as-is for this term
+        if round_docs:
+            fresh = np.unique(np.concatenate(round_docs))
+            fresh = fresh[~in_sorted(fresh, pool)]
+            if len(fresh):
+                fs = score_docs(fresh)
+                merged = np.concatenate([pool, fresh])
+                order2 = np.argsort(merged, kind="stable")
+                pool = merged[order2]
+                pool_scores = np.concatenate([pool_scores, fs])[order2]
+        # remaining-impact bound: for each term, the impact of its next
+        # (unconsumed) entry; docs outside the pool score below the sum
+        theta = 0.0
+        for i, (t, tp, iv) in enumerate(terms):
+            order, s_sorted = tp.impact[0], tp.impact[1]
+            c = cursors[i]
+            if c < len(order):
+                theta += float(s_sorted[c]) * iv
         if len(pool) >= k:
-            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+            kth = np.partition(pool_scores,
+                               len(pool_scores) - k)[len(pool_scores) - k]
             if exhausted or kth > theta * (1.0 + 1e-12):
-                return topk_merge(pool, scores, k)
+                return topk_merge(pool, pool_scores, k)
         elif exhausted:
-            return topk_merge(pool, scores, k)
+            return topk_merge(pool, pool_scores, k)
 
 
 def docs_of_term(t, tp: TermPostings) -> np.ndarray:

@@ -115,10 +115,16 @@ def _parse_boolean_query(q: str) -> ParsedQuery:
                        1.0, qid)
             seen[tid] = qt
             out.terms.append(qt)
-        elif qt.negative and not negative:
+            return
+        if qt.negative and not negative:
             # a term that ALSO appears positively anywhere must score —
             # the first occurrence being under a NOT must not mute it
             qt.negative = False
+        if qt.field != field_scope:
+            # same term under different scopes across branches: score it
+            # unscoped so ranking is branch-order independent (candidate
+            # filtering still honors each leaf's own scope via the tree)
+            qt.field = None
 
     # --- lexer ---
     toks: list[tuple[str, str]] = []   # (kind, text)
@@ -244,7 +250,29 @@ def _parse_boolean_query(q: str) -> ParsedQuery:
             return children[0]
         return ("or", children)
 
-    out.bool_tree = parse_expr(None, False)
+    # top-level driver: keep parsing past stray ')' so no token of the
+    # query is silently dropped; multiple top-level fragments AND together
+    # (AND is associative, so and-node fragments flatten into one)
+    nodes = []
+    while peek()[0] is not None:
+        node = parse_expr(None, False)
+        if node != ("and", [], []):
+            nodes.append(node)
+        if peek()[0] == ")":
+            take()   # unmatched close paren — skip and continue
+    if len(nodes) == 1:
+        out.bool_tree = nodes[0]
+    else:
+        top_pos, top_neg = [], []
+        for nd in nodes:
+            if nd[0] == "and":
+                top_pos.extend(nd[1])
+                top_neg.extend(nd[2])
+            elif nd[0] == "neg":
+                top_neg.append(nd[1])
+            else:
+                top_pos.append(nd)
+        out.bool_tree = ("and", top_pos, top_neg)
     return out
 
 

@@ -364,4 +364,8 @@ def test_explain(built_index):
     assert e["eval_path"].startswith("exact")
     assert se.explain('"w0042 w0777"')["phrases"]
     assert se.explain("(w0042 OR w0777)")["eval_path"] == "boolean-tree"
-    assert "single-term" in se.explain("w0002")["eval_path"]
+    # at this corpus scale single terms have df < 4096 → no block-max
+    # metadata → the kernel truly takes the exact route, and explain must
+    # say so (it mirrors evaluate's guards, incl. the field-scope one)
+    assert se.explain("w0002")["eval_path"] == "exact"
+    assert se.explain("role:user w0002")["eval_path"].startswith("exact")

@@ -242,3 +242,15 @@ def test_boolean_tree_negated_then_positive_term_scores():
     d2, s2 = orc.search("(banana) apple", 10)
     assert list(d1) == list(d2)
     assert list(s1) == list(s2)   # apple's BM25 contribution not muted
+
+
+def test_boolean_tree_stray_parens_and_scope(tiny):
+    # unmatched ')' must not drop the rest of the query
+    assert _convs(tiny, "(apple)) banana") == _convs(tiny, "(apple banana)")
+    assert _convs(tiny, "(banana)) -apple") == _convs(tiny, "(banana) -apple")
+    # a term scoped in one branch and unscoped in another scores branch-
+    # order independently
+    d1, s1 = tiny.search("(role:user apple) OR apple", 10)
+    d2, s2 = tiny.search("apple OR (role:user apple)", 10)
+    assert list(d1) == list(d2) and list(s1) == list(s2)
+    assert all(s > 0 for s in s1)
