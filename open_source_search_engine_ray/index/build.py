@@ -150,6 +150,27 @@ def estimate_hot_terms(transcripts_ds, config: IndexConfig,
     return np.sort(hot.astype(np.uint64))
 
 
+def _resolve_hot_terms(transcripts_ds_factory, out_dir: str,
+                       config: IndexConfig, fingerprint: str,
+                       resume: bool) -> np.ndarray:
+    """Sample hot terms — or, on resume, read back the set the existing
+    shards were salted under.  The sample depends on block structure and
+    sampler version (neither in the fingerprint), so resampling on resume
+    could route hot terms to salted shards that were never written; the
+    set is therefore persisted as a stage manifest the moment it is drawn
+    and reused verbatim whenever completed work for this fingerprint may
+    be reused."""
+    path = _stage_manifest_path(out_dir, "hotterms")
+    if resume and _stage_complete(out_dir, "hotterms", fingerprint):
+        with open(path) as f:
+            return np.asarray(json.load(f).get("hot_terms", []),
+                              dtype=np.uint64)
+    hot = estimate_hot_terms(transcripts_ds_factory(), config)
+    _mark_stage(out_dir, "hotterms", fingerprint,
+                hot_terms=[int(t) for t in hot])
+    return hot
+
+
 def _make_segment_group_fn(out_dir: str, config: IndexConfig, avgdl: float,
                            fingerprint: str, done: frozenset[int],
                            generation: int = 0):
@@ -353,7 +374,8 @@ def _build_fused_spill(transcripts_ds_factory, out_dir: str,
         # universal doc-salting already splits the Zipf head — no sampling
         hot_terms = np.zeros(0, dtype=np.uint64)
     else:
-        hot_terms = estimate_hot_terms(transcripts_ds_factory(), config)
+        hot_terms = _resolve_hot_terms(transcripts_ds_factory, out_dir,
+                                       config, fingerprint, resume)
     hot_ref = ray.put(hot_terms)
     phase_sec["hot_sample"] = round(time.time() - t, 3)
 
@@ -585,9 +607,10 @@ def build_index(transcripts_ds_factory, out_dir: str,
         avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(n_docs))
         dl_ref = ray.put((doc_ids_sorted, dl32))
 
-        # hot terms (salted repartitioning)
+        # hot terms (salted repartitioning; persisted for layout-stable resume)
         t = time.time()
-        hot_terms = estimate_hot_terms(transcripts_ds_factory(), config)
+        hot_terms = _resolve_hot_terms(transcripts_ds_factory, out_dir,
+                                       config, fingerprint, resume)
         hot_ref = ray.put(hot_terms)
         phase_sec["hot_sample"] = round(time.time() - t, 3)
 

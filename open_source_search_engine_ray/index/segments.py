@@ -345,7 +345,9 @@ def decode_posting_table(tbl: pa.Table, with_positions: bool = True) -> dict:
     # per-field tfs: the fixed-size-list values concatenate row-major as
     # (row0 f0 | row0 f1 | ... | row1 f0 | ...); one decode, then gather
     tf_col = tbl["tf_blobs"].combine_chunks()
-    tf_cat, _ = _concat_binary(tf_col.values)
+    # .flatten() is offset-aware; .values would silently decode the wrong
+    # rows' tf streams for a sliced (non-zero-offset) input table
+    tf_cat, _ = _concat_binary(tf_col.flatten())
     tf_all = varbyte.decode(tf_cat).astype(np.int64)
     local = np.arange(total, dtype=np.int64) - post_offs[row_of_post]
     base = NUM_FIELDS * post_offs[row_of_post]

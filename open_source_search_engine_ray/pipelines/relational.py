@@ -92,15 +92,23 @@ def orders_by_nation(sf_dir: str):
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    nk = dict(zip(cust["c_custkey"].astype(int),
-                  cust["c_nationkey"].astype(int)))
+    # sorted-key arrays + searchsorted (the parts_profit_by_nation
+    # pattern) — no per-row Python dict lookups in the stream stage
+    c_keys = cust["c_custkey"].to_numpy().astype(np.int64)
+    c_order = np.argsort(c_keys)
+    c_keys = c_keys[c_order]
     nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
-    ref = ray.put((nk, nname))
+    c_nation = np.asarray(
+        [nname.get(int(k), "UNKNOWN")
+         for k in cust["c_nationkey"].to_numpy()[c_order]])
+    ref = ray.put((c_keys, c_nation))
 
     def attach(b: pa.Table) -> pa.Table:
-        nk_, nname_ = ray.get(ref)
-        keys = b["o_custkey"].to_numpy()
-        names = [nname_.get(nk_.get(int(k), -1), "UNKNOWN") for k in keys]
+        ck, cn = ray.get(ref)
+        keys = b["o_custkey"].to_numpy().astype(np.int64)
+        ci = np.clip(np.searchsorted(ck, keys), 0, len(ck) - 1)
+        ok = ck[ci] == keys
+        names = np.where(ok, cn[ci], "UNKNOWN")
         cents = np.rint(b["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
         return pa.table({
             "n_name": pa.array(names, pa.string()),

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import IndexConfig
+from .cache import MISSING, LruBytesCache
 from .engine import _GenIndex
 from .kernel import TermPostings, evaluate
 from .parse import parse_query
@@ -28,7 +29,8 @@ from .parse import parse_query
 class ShardServer:
     """Owns ``shard_ids`` of every generation; serves decoded parts."""
 
-    def __init__(self, index_dir: str, shard_ids: list[int]):
+    def __init__(self, index_dir: str, shard_ids: list[int],
+                 cache_bytes: int = 256 << 20):
         from ..index.merge import gen_dir, read_generations
 
         gens_doc = read_generations(index_dir)
@@ -36,13 +38,14 @@ class ShardServer:
         self._gens = [
             _GenIndex(g["gen"], gen_dir(index_dir, g["gen"]))
             for g in sorted(gens_doc["generations"], key=lambda g: g["gen"])]
-        self._cache: dict = {}
+        self._cache = LruBytesCache(cache_bytes)
 
     def get_parts(self, term_id: int, with_positions: bool = False):
         """→ list of (gen, decoded-part dict) for owned shards."""
         key = (term_id, with_positions)
-        if key in self._cache:
-            return self._cache[key]
+        hit = self._cache.get(key, MISSING)
+        if hit is not MISSING:
+            return hit
         out = []
         for g in self._gens:
             for shard in g.shards_for_term(term_id):
@@ -56,7 +59,7 @@ class ShardServer:
                 tbl = rd.read_terms([term_id], with_positions=with_positions)
                 out.extend((g.gen, decode_posting_row(r, with_positions))
                            for r in tbl.to_pylist())
-        self._cache[key] = out
+        self._cache.put(key, out)
         return out
 
 
@@ -94,7 +97,7 @@ class DistributedSearcher:
         owned = [[s for s in range(max_shard) if s % n_servers == i]
                  for i in range(n_servers)]
         self._servers = [server_cls.remote(index_dir, o) for o in owned]
-        self._cache: dict[tuple[int, bool], TermPostings | None] = {}
+        self._cache = LruBytesCache(256 << 20)
 
     def _servers_for_term(self, term_id: int) -> list[int]:
         servers = set()
@@ -173,9 +176,11 @@ class DistributedSearcher:
                          for p in chunk]
                 wp = tid in phrase_terms
                 tp = self._merge_parts(parts, wp)
-                self._cache[(tid, wp)] = tp
+                self._cache.put((tid, wp), tp)
                 lists[tid] = tp
             else:
-                lists[tid] = self._cache.get(
-                    (tid, True), self._cache.get((tid, False)))
+                hit = self._cache.get((tid, True), MISSING)
+                if hit is MISSING:
+                    hit = self._cache.get((tid, False), MISSING)
+                lists[tid] = None if hit is MISSING else hit
         return evaluate(pq_, lists, self.n_docs, self.avgdl, self.config, k)

@@ -30,6 +30,7 @@ from ..config import IndexConfig
 from ..index.build import load_meta
 from ..index.manifest import segment_path
 from ..index.segments import SegmentReader, decode_posting_row
+from .cache import MISSING, LruBytesCache
 from .kernel import TermPostings, evaluate
 from .parse import ParsedQuery, parse_query
 
@@ -81,7 +82,7 @@ class _GenIndex:
 
 
 class IndexSearcher:
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, cache_bytes: int = 256 << 20):
         from ..index.merge import gen_dir, read_generations, read_tombstones
 
         self.index_dir = index_dir
@@ -101,7 +102,10 @@ class IndexSearcher:
             self.n_docs = int(self.meta["n_docs"])
             self.avgdl = float(self.meta["avgdl"])
         self.tomb_doc, self.tomb_dead = read_tombstones(index_dir)
-        self._cache: dict[tuple[int, bool], TermPostings | None] = {}
+        # byte-bounded LRU (the RdbCache budget analogue) — a long-lived
+        # serving actor can't grow without limit under a distinct-term
+        # query stream; hot stopword lists stay resident via recency
+        self._cache = LruBytesCache(cache_bytes)
 
     def _dead_mask(self, doc_ids: np.ndarray, gen: int) -> np.ndarray:
         """True where the doc is tombstoned for this generation."""
@@ -114,10 +118,11 @@ class IndexSearcher:
     def get_postings(self, term_id: int,
                      with_positions: bool = False) -> TermPostings | None:
         key = (term_id, with_positions)
-        if key in self._cache:
-            return self._cache[key]
-        if (term_id, True) in self._cache:
-            return self._cache[(term_id, True)]
+        hit = self._cache.get(key, MISSING)
+        if hit is MISSING:
+            hit = self._cache.get((term_id, True), MISSING)
+        if hit is not MISSING:
+            return hit
         from ..functions.ragged import ragged_concat, ragged_select
 
         docs_parts, tfs_parts, dl_parts, pos_parts = [], [], [], []
@@ -141,7 +146,7 @@ class IndexSearcher:
                         pos_parts.append(ragged_select(
                             flat, offs, np.flatnonzero(alive)))
         if not docs_parts:
-            self._cache[key] = None
+            self._cache.put(key, None)
             return None
         docs = np.concatenate(docs_parts)
         tfs = np.concatenate(tfs_parts)
@@ -174,7 +179,7 @@ class IndexSearcher:
         if with_positions:
             flat_all, offs_all = ragged_concat(pos_parts)
             tp.positions = ragged_select(flat_all, offs_all, order)
-        self._cache[key] = tp
+        self._cache.put(key, tp)
         return tp
 
     def _lists_for(self, pq_: ParsedQuery) -> dict[int, TermPostings | None]:
@@ -249,7 +254,7 @@ class IndexSearcher:
         terms with per-term df/idf, phrase chains, OR units, boolean tree,
         and which evaluation path :func:`kernel.evaluate` will take."""
         from ..functions.bm25 import idf as bm25_idf
-        from .kernel import IMPACT_UNION_MIN_POSTINGS
+        from .kernel import select_plan
 
         pq_ = parse_query(query, self.config.bigram_weight)
         lists = self._lists_for(pq_)
@@ -264,39 +269,21 @@ class IndexSearcher:
                 "df": int(tp.df) if tp else 0,
                 "idf": float(bm25_idf(tp.df, self.n_docs)) if tp else None,
             })
-        positives = [t for t in pq_.terms
-                     if not t.negative and not t.is_bigram]
-        dfs = [lists[t.term_id].df for t in positives
-               if lists.get(t.term_id) is not None]
-        # mirrors kernel.evaluate's guards exactly (incl. field / negative
-        # conditions) so the reported plan is the one that runs
-        single = positives[0] if len(pq_.terms) == 1 and positives else None
-        single_tp = lists.get(single.term_id) if single else None
+        # the SAME predicate evaluate() dispatches on — the reported plan
+        # is the path that runs, by construction
+        plan = select_plan(pq_, lists, k, prune=True)
         if pq_.bool_tree is not None:
             path = "boolean-tree"
         elif pq_.phrases or pq_.neg_phrases or pq_.or_groups:
             path = "exact (phrase/or-unit filters)"
-        elif single is not None and single_tp is not None \
-                and single.field is None:
-            if single_tp.df > IMPACT_UNION_MIN_POSTINGS:
-                path = "impact-ordered single-term"
-            elif single_tp.block_max is not None and single_tp.df > 4 * k:
-                path = "block-max single-term"
-            else:
-                path = "exact"
-        elif (len(positives) > 1 and dfs
-                and not any(t.required for t in positives)
-                and not any(t.negative for t in pq_.terms)):
-            scorable = [t for t in pq_.terms if not t.negative]
-            if max(dfs) > 8 * min(dfs):
-                path = "MaxScore disjunction"
-            elif (sum(dfs) > IMPACT_UNION_MIN_POSTINGS
-                    and all(t.field is None for t in scorable)):
-                path = "impact-ordered union"
-            else:
-                path = "exact"
         else:
-            path = "exact (required-unit intersection)"
+            path = {
+                "impact-single": "impact-ordered single-term",
+                "blockmax-single": "block-max single-term",
+                "maxscore": "MaxScore disjunction",
+                "impact-union": "impact-ordered union",
+            }.get(plan, "exact" if len(pq_.terms) <= 1
+                  else "exact (required-unit intersection)")
         return {
             "query": query, "n_docs": self.n_docs, "avgdl": self.avgdl,
             "terms": terms, "phrases": pq_.phrases,
@@ -338,7 +325,10 @@ def evaluate_queries_distributed(index_dir: str, queries: list[tuple[str, str, i
 
     qds = ray.data.from_items(
         [{"query_id": qid, "query": q, "k": k} for qid, q, k in queries])
+    # small batches so the actor pool load-balances: one skewed query
+    # (a stopword disjunction) must not serialize the whole pool behind
+    # one actor's single giant batch
     return qds.map_batches(
         QueryEvalStage, fn_constructor_kwargs={"index_dir": index_dir},
-        batch_format="pandas", batch_size=max(1, len(queries) // concurrency),
+        batch_format="pandas", batch_size=2,
         concurrency=concurrency)

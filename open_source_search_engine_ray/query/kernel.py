@@ -323,6 +323,49 @@ def docs_of_term(t, tp: TermPostings) -> np.ndarray:
     return tp.doc_ids
 
 
+def select_plan(query: ParsedQuery, lists: dict[int, TermPostings | None],
+                k: int, prune: bool = True) -> str:
+    """The ONE dispatch predicate for :func:`evaluate` — also what
+    ``IndexSearcher.explain()`` reports, so the displayed plan cannot
+    diverge from the path that actually runs.
+
+    Tags: ``impact-single`` (huge single-term list, TA chunks),
+    ``blockmax-single`` (block-max bound walk), ``maxscore`` (disjunction
+    with df spread), ``impact-union`` (uniform stopword disjunction),
+    ``exact`` (candidate generation + canonical scoring)."""
+    if not (prune and not query.phrases and not query.neg_phrases
+            and not query.or_groups and query.bool_tree is None):
+        return "exact"
+    positives_all = [t for t in query.terms
+                     if not t.negative and not t.is_bigram]
+    if len(query.terms) == 1 and len(positives_all) == 1:
+        t = positives_all[0]
+        tp = lists.get(t.term_id)
+        if tp is not None and t.field is None:
+            # huge lists (df≈N stopwords): near-uniform block maxima
+            # make the block-bound walk visit most blocks — the
+            # impact-ordered path answers from its first chunk instead
+            if tp.df > IMPACT_UNION_MIN_POSTINGS:
+                return "impact-single"
+            if tp.block_max is not None and tp.df > 4 * k:
+                return "blockmax-single"
+    if (len(positives_all) > 1
+            and not any(t.required for t in positives_all)
+            and not any(t.negative for t in query.terms)):
+        dfs = [lists[t.term_id].df for t in positives_all
+               if lists.get(t.term_id) is not None]
+        scorable = [t for t in query.terms if not t.negative]
+        # df spread → MaxScore bounds have something to prune
+        if dfs and max(dfs) > 8 * min(dfs):
+            return "maxscore"
+        # uniform big lists (stopword disjunctions): doc-at-a-time
+        # bounds prune nothing — switch to impact-ordered evaluation
+        if (dfs and sum(dfs) > IMPACT_UNION_MIN_POSTINGS
+                and all(t.field is None for t in scorable)):
+            return "impact-union"
+    return "exact"
+
+
 def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
              n_docs: int, avgdl: float, config: IndexConfig, k: int,
              prune: bool = True):
@@ -333,49 +376,29 @@ def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
     are result-identical to the exact path (tests/test_pruning.py) — the
     multi-term path re-scores surviving candidates in canonical expansion
     order so even the float accumulation matches."""
-    if (prune and not query.phrases and not query.neg_phrases
-            and not query.or_groups and query.bool_tree is None):
-        positives_all = [t for t in query.terms
-                         if not t.negative and not t.is_bigram]
-        if (len(query.terms) == 1 and len(positives_all) == 1):
-            t = positives_all[0]
-            tp = lists.get(t.term_id)
-            if tp is not None and t.field is None:
-                # huge lists (df≈N stopwords): near-uniform block maxima
-                # make the block-bound walk visit most blocks — the
-                # impact-ordered path answers from its first chunk instead
-                if tp.df > IMPACT_UNION_MIN_POSTINGS:
-                    wq1 = np.asarray([int(round(w * 4))
-                                      for w in config.field_weights],
-                                     dtype=np.int64)
-                    return _impact_ordered_union([t], lists, n_docs, avgdl,
-                                                 config, k, wq1)
-                if tp.block_max is not None and tp.df > 4 * k:
-                    return _blockmax_single_term(t, tp, n_docs, avgdl,
-                                                 config, k)
-        if (len(positives_all) > 1
-                and not any(t.required for t in positives_all)
-                and not any(t.negative for t in query.terms)):
-            dfs = [lists[t.term_id].df for t in positives_all
-                   if lists.get(t.term_id) is not None]
-            wq = np.asarray([int(round(w * 4))
-                             for w in config.field_weights],
-                            dtype=np.int64)
-            scorable = [t for t in query.terms if not t.negative]
-            # df spread → MaxScore bounds have something to prune
-            if dfs and max(dfs) > 8 * min(dfs):
-                cand = _maxscore_candidates(scorable, lists, n_docs, avgdl,
-                                            config, k, wq)
-                return _score_candidates(query, lists, cand, n_docs, avgdl,
-                                         config, k, wq)
-            # uniform big lists (stopword disjunctions): doc-at-a-time
-            # bounds prune nothing — switch to impact-ordered evaluation
-            if (dfs and sum(dfs) > IMPACT_UNION_MIN_POSTINGS
-                    and all(t.field is None for t in scorable)):
-                return _impact_ordered_union(scorable, lists, n_docs,
-                                             avgdl, config, k, wq)
+    plan = select_plan(query, lists, k, prune)
     wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
                     dtype=np.int64)
+    if plan == "impact-single":
+        t = next(t for t in query.terms
+                 if not t.negative and not t.is_bigram)
+        return _impact_ordered_union([t], lists, n_docs, avgdl,
+                                     config, k, wq)
+    if plan == "blockmax-single":
+        t = next(t for t in query.terms
+                 if not t.negative and not t.is_bigram)
+        return _blockmax_single_term(t, lists[t.term_id], n_docs, avgdl,
+                                     config, k)
+    if plan == "maxscore":
+        scorable = [t for t in query.terms if not t.negative]
+        cand = _maxscore_candidates(scorable, lists, n_docs, avgdl,
+                                    config, k, wq)
+        return _score_candidates(query, lists, cand, n_docs, avgdl,
+                                 config, k, wq)
+    if plan == "impact-union":
+        scorable = [t for t in query.terms if not t.negative]
+        return _impact_ordered_union(scorable, lists, n_docs,
+                                     avgdl, config, k, wq)
     cand = candidate_docs(query, lists)
     return _score_candidates(query, lists, cand, n_docs, avgdl, config, k,
                              wq)
