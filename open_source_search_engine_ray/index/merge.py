@@ -29,9 +29,7 @@ import shutil
 import time
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from ..config import IndexConfig, NUM_FIELDS
@@ -150,37 +148,119 @@ def update_documents(out_dir: str, transcripts_ds_factory, *,
                          input_token=input_token, config=config)
 
 
-def live_doc_stats(out_dir: str) -> pd.DataFrame:
-    """Per-doc stats with newest-generation-wins and tombstones applied."""
-    gens = read_generations(out_dir)
-    frames = []
-    for g in gens["generations"]:
+def _conflict_winners(out_dir: str, gen_list: list[dict]):
+    """Docs present in MORE THAN ONE generation → (sorted doc_ids uint64,
+    winning gen int32).  Distributed: a 2-column (doc_id, gen) union over
+    every generation's docstats (one row per doc) → ``groupby(doc_id)``
+    Max/Count — the only shuffle in the live-view machinery, over 12
+    bytes/doc.  The RESULT is bounded by the number of updated (re-added)
+    docs — the LSM maintenance working set, the same order of magnitude as
+    the tombstone table the driver already holds — so collecting it and
+    broadcasting it map-side replaces a corpus-wide shuffle join."""
+    import ray.data
+    from ray.data.aggregate import Count, Max
+
+    if len(gen_list) <= 1:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int32)
+    parts = []
+    for g in gen_list:
         d = gen_dir(out_dir, g["gen"])
-        tbl = pads.dataset(os.path.join(d, "docstats"),
-                           format="parquet").to_table().to_pandas()
-        tbl["gen"] = g["gen"]
-        frames.append(tbl)
-    df = pd.concat(frames, ignore_index=True)
-    # newest generation wins per doc
-    df = (df.sort_values(["doc_id", "gen"])
-          .drop_duplicates("doc_id", keep="last"))
-    tomb_doc, tomb_dead = read_tombstones(out_dir)
-    if len(tomb_doc):
-        doc = df["doc_id"].to_numpy().astype(np.uint64)
-        idx = np.clip(np.searchsorted(tomb_doc, doc), 0,
-                      max(0, len(tomb_doc) - 1))
-        dead = (tomb_doc[idx] == doc) & \
-            (tomb_dead[idx] >= df["gen"].to_numpy())
-        df = df[~dead]
-    return df.reset_index(drop=True)
+
+        def attach(b: pa.Table, _gen=int(g["gen"])) -> pa.Table:
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "gen": pa.array(np.full(b.num_rows, _gen, np.int32))})
+
+        parts.append(ray.data.read_parquet(
+            os.path.join(d, "docstats"), columns=["doc_id"])
+            .map_batches(attach, batch_format="pyarrow"))
+    agg = (parts[0].union(*parts[1:]).groupby("doc_id")
+           .aggregate(Max("gen", alias_name="win_gen"),
+                      Count(alias_name="cnt")))
+    import pyarrow.compute as pc
+
+    dup = agg.map_batches(
+        lambda b: b.filter(pc.greater(b["cnt"], 1)),
+        batch_format="pyarrow").to_pandas()
+    if len(dup) == 0:   # empty result drops the schema
+        return np.zeros(0, np.uint64), np.zeros(0, np.int32)
+    doc = dup["doc_id"].to_numpy().astype(np.uint64)
+    order = np.argsort(doc)
+    return doc[order], dup["win_gen"].to_numpy().astype(np.int32)[order]
+
+
+def _make_live_filter(gen: int, conflict_ref, tomb_ref):
+    """Batch filter dropping superseded (a newer generation re-added the
+    doc) and tombstoned rows — the ``RdbList`` newest-file-wins +
+    negative-key annihilation (``RdbList.cpp:2361-2372``) as a map-side
+    mask over broadcast arrays."""
+    import ray
+
+    def f(b: pa.Table) -> pa.Table:
+        cdoc, cwin = ray.get(conflict_ref)
+        tdoc, tdead = ray.get(tomb_ref)
+        doc = b["doc_id"].to_numpy().astype(np.uint64)
+        keep = np.ones(len(doc), dtype=bool)
+        if len(cdoc):
+            idx = np.clip(np.searchsorted(cdoc, doc), 0, len(cdoc) - 1)
+            keep &= ~((cdoc[idx] == doc) & (cwin[idx] > gen))
+        if len(tdoc):
+            idx = np.clip(np.searchsorted(tdoc, doc), 0, len(tdoc) - 1)
+            keep &= ~((tdoc[idx] == doc) & (tdead[idx] >= gen))
+        return b if keep.all() else b.filter(pa.array(keep))
+    return f
+
+
+def live_docs_ds(out_dir: str, subdir: str = "docstore",
+                 columns: list[str] | None = None):
+    """STREAMING live view of a per-generation table family (``docstats``
+    or ``docstore``): newest-generation-wins + tombstones applied map-side
+    via broadcast filter arrays — no shuffle join, no driver
+    materialization; consume with ``write_parquet`` / an aggregate."""
+    import ray
+    import ray.data
+
+    gens = read_generations(out_dir)
+    gen_list = sorted(gens["generations"], key=lambda g: g["gen"])
+    cdoc, cwin = _conflict_winners(out_dir, gen_list)
+    tdoc, tdead = read_tombstones(out_dir)
+    conflict_ref = ray.put((cdoc, cwin))
+    tomb_ref = ray.put((tdoc, tdead))
+    parts = []
+    for g in gen_list:
+        path = os.path.join(gen_dir(out_dir, g["gen"]), subdir)
+        ds = ray.data.read_parquet(path, columns=columns)
+        if len(cdoc) or len(tdoc):
+            ds = ds.map_batches(
+                _make_live_filter(int(g["gen"]), conflict_ref, tomb_ref),
+                batch_format="pyarrow")
+        parts.append(ds)
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
 
 def refresh_stats(out_dir: str) -> dict:
-    """Recompute live N / avgdl into generations.json (exact int sums)."""
-    df = live_doc_stats(out_dir)
-    n_docs = len(df)
-    total_dlq = int(df["dl_q"].sum())
+    """Recompute live N / avgdl into generations.json (exact int sums).
+
+    Fast path: an untouched index (single generation, no tombstones) takes
+    its totals straight from the generation's meta — no Ray job.  Any
+    maintained index aggregates the live docstats STREAM (Sum/Count over
+    two pruned columns) — the round-2 whole-corpus driver pandas merge is
+    gone."""
     gens = read_generations(out_dir)
+    gen_list = sorted(gens["generations"], key=lambda g: g["gen"])
+    tomb_doc, _ = read_tombstones(out_dir)
+    if len(gen_list) == 1 and len(tomb_doc) == 0:
+        m = load_meta(gen_dir(out_dir, gen_list[0]["gen"]))
+        n_docs, total_dlq = int(m["n_docs"]), int(m["total_dlq"])
+    else:
+        from ray.data.aggregate import Count, Sum
+
+        agg = (live_docs_ds(out_dir, "docstats",
+                            columns=["doc_id", "dl_q"])
+               .aggregate(Sum("dl_q", alias_name="total_dlq"),
+                          Count(alias_name="n_docs")))
+        n_docs = int(agg["n_docs"] or 0)
+        total_dlq = int(agg["total_dlq"] or 0)
     gens["live_stats"] = {
         "n_docs": n_docs,
         "total_dlq": total_dlq,
@@ -190,31 +270,6 @@ def refresh_stats(out_dir: str) -> dict:
     }
     _write_generations(out_dir, gens)
     return gens["live_stats"]
-
-
-def live_transcripts(out_dir: str) -> pa.Table:
-    """Live doc-store rows (newest generation wins, tombstones applied)."""
-    gens = read_generations(out_dir)
-    frames = []
-    for g in gens["generations"]:
-        d = gen_dir(out_dir, g["gen"])
-        t = pads.dataset(os.path.join(d, "docstore"),
-                         format="parquet").to_table().to_pandas()
-        t["gen"] = g["gen"]
-        frames.append(t)
-    df = pd.concat(frames, ignore_index=True)
-    newest = df.groupby("doc_id")["gen"].transform("max")
-    df = df[df["gen"] == newest]
-    tomb_doc, tomb_dead = read_tombstones(out_dir)
-    if len(tomb_doc):
-        doc = df["doc_id"].to_numpy().astype(np.uint64)
-        idx = np.clip(np.searchsorted(tomb_doc, doc), 0,
-                      max(0, len(tomb_doc) - 1))
-        dead = (tomb_doc[idx] == doc) & \
-            (tomb_dead[idx] >= df["gen"].to_numpy())
-        df = df[~dead]
-    df = df.drop(columns=["gen"])
-    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def _dead_mask_for(doc_ids: np.ndarray, gen: int, tomb_doc: np.ndarray,
@@ -414,6 +469,7 @@ def compact_merge(out_dir: str) -> dict:
     single-generation index — the ``RdbMerge`` / ``posdbMerge_r`` path
     (``RdbList.cpp:2186-2400``), no re-tokenization."""
     import ray
+    import ray.data
 
     from .build import load_meta
 
@@ -450,19 +506,22 @@ def compact_merge(out_dir: str) -> dict:
     os.makedirs(new_dir, exist_ok=True)
     fingerprint = f"compact-merge:{base_meta['fingerprint']}"
 
-    # live doc stats + doc store carried over
-    stats = live_doc_stats(out_dir)
-    os.makedirs(os.path.join(new_dir, "docstats"), exist_ok=True)
-    pq.write_table(pa.Table.from_pandas(stats.drop(columns=["gen"]),
-                                        preserve_index=False),
-                   os.path.join(new_dir, "docstats", "part-0.parquet"))
-    n_docs = len(stats)
-    total_dlq = int(stats["dl_q"].sum())
-    avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(n_docs))
-    store = live_transcripts(out_dir)
-    os.makedirs(os.path.join(new_dir, "docstore"), exist_ok=True)
-    pq.write_table(store, os.path.join(new_dir, "docstore",
-                                       "part-0.parquet"))
+    # live doc stats + doc store carried over as STREAMING Ray pipelines
+    # (newest-gen-wins + tombstones applied map-side, partitioned
+    # write_parquet) — no whole-corpus driver pandas, no single-file write
+    from ray.data.aggregate import Count, Sum
+
+    stats_dir = os.path.join(new_dir, "docstats")
+    os.makedirs(stats_dir, exist_ok=True)
+    live_docs_ds(out_dir, "docstats").write_parquet(stats_dir)
+    agg = (ray.data.read_parquet(stats_dir, columns=["dl_q"])
+           .aggregate(Sum("dl_q", alias_name="t"), Count(alias_name="n")))
+    n_docs = int(agg["n"] or 0)
+    total_dlq = int(agg["t"] or 0)
+    avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(max(1, n_docs)))
+    store_dir = os.path.join(new_dir, "docstore")
+    os.makedirs(store_dir, exist_ok=True)
+    live_docs_ds(out_dir, "docstore").write_parquet(store_dir)
 
     p, s = cfg.num_partitions, cfg.num_salts
     n_normal = p * s if cfg.salt_all_terms else p
@@ -510,10 +569,14 @@ def compact(out_dir: str, config: IndexConfig | None = None) -> dict:
     cfg = config or IndexConfig(**{
         **base_meta["config"],
         "field_weights": tuple(base_meta["config"]["field_weights"])})
-    live = live_transcripts(out_dir)
-    live = live.drop_columns(["doc_id"])
-    tmp_corpus = out_dir + ".compact_corpus.parquet"
-    pq.write_table(live, tmp_corpus)
+    # stream the live docstore to a partitioned corpus dir (doc_id is
+    # recomputed by the build's tokenize stage, so drop it) — never a
+    # single driver-materialized table
+    tmp_corpus = out_dir + ".compact_corpus"
+    shutil.rmtree(tmp_corpus, ignore_errors=True)
+    os.makedirs(tmp_corpus, exist_ok=True)
+    live_docs_ds(out_dir, "docstore").drop_columns(
+        ["doc_id"]).write_parquet(tmp_corpus)
     new_dir = out_dir + ".compacting"
     shutil.rmtree(new_dir, ignore_errors=True)
     meta = build_index(lambda: ray.data.read_parquet(tmp_corpus), new_dir,
@@ -525,5 +588,5 @@ def compact(out_dir: str, config: IndexConfig | None = None) -> dict:
     os.replace(out_dir, old_dir)
     os.replace(new_dir, out_dir)
     shutil.rmtree(old_dir, ignore_errors=True)
-    os.remove(tmp_corpus)
+    shutil.rmtree(tmp_corpus, ignore_errors=True)
     return meta
