@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship search engine (transcripts corpus)
         "transcripts_bm25_topk": transcripts_flagship.transcripts_bm25_topk,
+        "transcripts_bm25_prox_topk":
+            transcripts_flagship.transcripts_bm25_prox_topk,
         "transcripts_doc_stats": transcripts_flagship.transcripts_doc_stats,
         "transcripts_index_manifests":
             transcripts_flagship.transcripts_index_manifests,

@@ -48,6 +48,32 @@ def transcripts_bm25_topk(sf_dir: str):
     return ds.map_batches(finalize, batch_format="pandas")
 
 
+def transcripts_bm25_prox_topk(sf_dir: str):
+    """→ (query_id, rank, doc_id, score) with the proximity re-ranker on:
+    BM25F top-(4k) then the term-pair min-distance boost
+    (kernel.evaluate_rerank — ``PosdbTable.cpp:736-803`` analogue).
+    Rows-only driver check; engine==oracle identity for this path is the
+    pytest gate (tests/test_proximity.py)."""
+    from ..query.engine import IndexSearcher
+
+    idx_dir = ensure_index(sf_dir)
+    se = IndexSearcher(idx_dir)
+    out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, q, k in query_set():
+        docs, scores = se.search(q, k, rerank="proximity")
+        for r, (d, s) in enumerate(zip(docs, scores), start=1):
+            out["query_id"].append(qid)
+            out["rank"].append(r)
+            out["doc_id"].append(int(d))
+            out["score"].append(round(float(s), 6))
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+    })
+
+
 def transcripts_doc_stats(sf_dir: str):
     """→ per-doc stats table (doc_id, conv_id, dl_q, len_f0..f3)."""
     import pyarrow.dataset as pads

@@ -182,8 +182,10 @@ class IndexSearcher:
         self._cache.put(key, tp)
         return tp
 
-    def _lists_for(self, pq_: ParsedQuery) -> dict[int, TermPostings | None]:
-        phrase_terms = pq_.position_term_ids()
+    def _lists_for(self, pq_: ParsedQuery,
+                   extra_position_ids: set[int] = frozenset()
+                   ) -> dict[int, TermPostings | None]:
+        phrase_terms = pq_.position_term_ids() | set(extra_position_ids)
         lists: dict[int, TermPostings | None] = {}
         for t in pq_.terms:
             if t.term_id not in lists:
@@ -194,8 +196,15 @@ class IndexSearcher:
     def search(self, query: str, k: int = 10,
                synonyms: dict[str, list[str]] | None = None,
                field_weights: tuple | None = None,
-               lang: str = "en"):
+               lang: str = "en", rerank: str | None = None,
+               oversample: int = 4):
         """→ (doc_ids, scores) exact BM25F top-k.
+
+        ``rerank="proximity"`` applies the term-pair min-distance boost
+        over the top-(oversample·k) BM25F page
+        (:func:`kernel.evaluate_rerank` — the ``PosdbTable`` term-pair
+        signal under the BM25F contract); positions of every scoring term
+        are fetched for it.
 
         ``field_weights`` overrides the per-role/tool weights for this
         query (the reference's per-search ``&hgw_*`` parms,
@@ -214,13 +223,23 @@ class IndexSearcher:
             synonyms = DEFAULT_SYNONYMS
         pq_ = parse_query(query, self.config.bigram_weight,
                           synonyms=synonyms, lang=lang)
-        lists = self._lists_for(pq_)
+        extra: set[int] = set()
+        if rerank == "proximity":
+            extra = {t.term_id for t in pq_.terms
+                     if not t.negative and not t.is_bigram}
+        lists = self._lists_for(pq_, extra)
         cfg = self.config
         prune = True
         if field_weights is not None and \
                 tuple(field_weights) != tuple(cfg.field_weights):
             cfg = replace(cfg, field_weights=tuple(field_weights))
             prune = False
+        if rerank == "proximity":
+            from .kernel import evaluate_rerank
+
+            return evaluate_rerank(pq_, lists, self.n_docs, self.avgdl,
+                                   cfg, k, prune=prune,
+                                   oversample=oversample)
         return evaluate(pq_, lists, self.n_docs, self.avgdl, cfg, k,
                         prune=prune)
 
@@ -249,10 +268,12 @@ class IndexSearcher:
         total = int(len(candidate_docs(pq_, lists))) if with_total else None
         return docs[offset:offset + k], scores[offset:offset + k], total
 
-    def explain(self, query: str, k: int = 10) -> dict:
+    def explain(self, query: str, k: int = 10,
+                rerank: str | None = None, oversample: int = 4) -> dict:
         """Query plan inspection (the PageStats/&debug=1 analogue): parsed
         terms with per-term df/idf, phrase chains, OR units, boolean tree,
-        and which evaluation path :func:`kernel.evaluate` will take."""
+        which evaluation path :func:`kernel.evaluate` will take, and the
+        re-rank stage when one is requested."""
         from ..functions.bm25 import idf as bm25_idf
         from .kernel import select_plan
 
@@ -289,6 +310,9 @@ class IndexSearcher:
             "terms": terms, "phrases": pq_.phrases,
             "neg_phrases": pq_.neg_phrases, "or_groups": pq_.or_groups,
             "bool_tree": pq_.bool_tree, "eval_path": path,
+            "rerank": (f"proximity (term-pair min-dist boost over "
+                       f"top-{max(oversample * k, k)})"
+                       if rerank == "proximity" else None),
         }
 
     def search_table(self, query: str, k: int = 10) -> pa.Table:

@@ -317,6 +317,120 @@ def _impact_ordered_union(scorable, lists, n_docs: int, avgdl: float,
             return topk_merge(pool, pool_scores, k)
 
 
+def _pos_keys_for(cand: np.ndarray, tp: TermPostings) -> np.ndarray:
+    """Packed ``(candidate_index << 32) | position`` keys for the
+    candidate docs that contain the term — ascending by construction
+    (candidate indices increase, positions increase within a doc), so a
+    single searchsorted resolves nearest-occurrence lookups."""
+    from ..functions.ragged import ragged_arange
+
+    flat, offs = tp.positions
+    offs = np.asarray(offs, dtype=np.int64)
+    sel = np.searchsorted(tp.doc_ids, cand)
+    sel_c = np.minimum(sel, len(tp.doc_ids) - 1)
+    present = tp.doc_ids[sel_c] == cand
+    pidx = np.flatnonzero(present)
+    if len(pidx) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    sel = sel_c[pidx]
+    lens = offs[sel + 1] - offs[sel]
+    idx = np.repeat(offs[sel], lens) + ragged_arange(lens)
+    drep = np.repeat(pidx.astype(np.uint64), lens)
+    return (drep << np.uint64(32)) | flat[idx].astype(np.uint64)
+
+
+def _min_pair_dists(n_cand: int, keys_a: np.ndarray,
+                    keys_b: np.ndarray) -> np.ndarray:
+    """Per-candidate-doc minimum |pos_a - pos_b| between two terms'
+    occurrences (float64, +inf where either term is absent) — vectorized:
+    for every A-occurrence the nearest B-occurrence is one of the two
+    searchsorted neighbors in the same doc."""
+    best = np.full(n_cand, np.inf)
+    if len(keys_a) == 0 or len(keys_b) == 0:
+        return best
+    idx = np.searchsorted(keys_b, keys_a)
+    for cnd in (idx - 1, idx):
+        ok = (cnd >= 0) & (cnd < len(keys_b))
+        if not ok.any():
+            continue
+        ka = keys_a[ok]
+        kb = keys_b[cnd[ok]]
+        same = (ka >> np.uint64(32)) == (kb >> np.uint64(32))
+        if not same.any():
+            continue
+        # same doc → the packed high bits cancel in the difference
+        d = np.abs(kb[same].astype(np.int64) - ka[same].astype(np.int64))
+        di = (ka[same] >> np.uint64(32)).astype(np.int64)
+        np.minimum.at(best, di, d.astype(np.float64))
+    return best
+
+
+PROXIMITY_WEIGHT = 0.25    # default boost weight (contract constant)
+
+
+def proximity_rerank(query: ParsedQuery,
+                     lists: dict[int, TermPostings | None],
+                     docs: np.ndarray, scores: np.ndarray,
+                     prox_weight: float = PROXIMITY_WEIGHT):
+    """Term-pair proximity boost over an already-scored candidate page —
+    the ``PosdbTable`` sliding-window term-pair signal
+    (``PosdbTable.cpp:736-803,3077-3444,3871-3895``) re-expressed under
+    the BM25F contract as a deterministic re-ranker:
+
+        boosted = score · (1 + w · Σ_{i<j} weight_i·weight_j /
+                                     (1 + min_dist(i, j)))
+
+    over unordered pairs of DISTINCT positive non-bigram query terms,
+    where ``min_dist`` is the minimum absolute difference of stored global
+    positions (``turn_idx·TURN_STRIDE + ordinal`` — cross-turn pairs get a
+    naturally huge distance and contribute ~0, the cross-section penalty
+    analogue).  Pairs iterate in expansion order and the math is plain
+    float64 over identical inputs, so engine and oracle agree
+    bit-for-bit."""
+    if len(docs) == 0:
+        return docs, scores
+    terms, seen = [], set()
+    for t in query.terms:
+        if t.negative or t.is_bigram or t.term_id in seen:
+            continue
+        tp = lists.get(t.term_id)
+        if tp is None or tp.positions is None:
+            continue
+        seen.add(t.term_id)
+        terms.append((t, tp))
+    if len(terms) < 2:
+        return topk_merge(docs, scores, len(docs))
+    keys = [_pos_keys_for(docs, tp) for _, tp in terms]
+    prox = np.zeros(len(docs), dtype=np.float64)
+    for i in range(len(terms)):
+        for j in range(i + 1, len(terms)):
+            best = _min_pair_dists(len(docs), keys[i], keys[j])
+            has = np.isfinite(best)
+            if has.any():
+                w = (np.float64(terms[i][0].weight)
+                     * np.float64(terms[j][0].weight))
+                prox[has] += w / (1.0 + best[has])
+    boosted = scores * (1.0 + np.float64(prox_weight) * prox)
+    return topk_merge(docs, boosted, len(docs))
+
+
+def evaluate_rerank(query: ParsedQuery,
+                    lists: dict[int, TermPostings | None],
+                    n_docs: int, avgdl: float, config: IndexConfig, k: int,
+                    prune: bool = True, oversample: int = 4,
+                    prox_weight: float = PROXIMITY_WEIGHT):
+    """Proximity-boosted evaluation: exact BM25F top-(oversample·k)
+    page (result-identical under pruning), then :func:`proximity_rerank`
+    and re-sort — the candidate oversampling mirrors the reference's
+    rescoring of its top pool rather than every voter."""
+    kp = max(int(oversample) * k, k)
+    docs, scores = evaluate(query, lists, n_docs, avgdl, config, kp,
+                            prune=prune)
+    docs2, boosted = proximity_rerank(query, lists, docs, scores,
+                                      prox_weight)
+    return docs2[:k], boosted[:k]
+
+
 def docs_of_term(t, tp: TermPostings) -> np.ndarray:
     if t.field is not None:
         return tp.doc_ids[tp.tfs[:, t.field] > 0]

@@ -99,7 +99,8 @@ class OracleIndex:
     def search(self, query: str, k: int = 10,
                synonyms: dict[str, list[str]] | None = None,
                field_weights: tuple | None = None,
-               lang: str = "en"):
+               lang: str = "en", rerank: str | None = None,
+               oversample: int = 4):
         from dataclasses import replace
 
         if synonyms == "default":
@@ -111,6 +112,12 @@ class OracleIndex:
         cfg = self.config
         if field_weights is not None:
             cfg = replace(cfg, field_weights=tuple(field_weights))
+        if rerank == "proximity":
+            from .kernel import evaluate_rerank
+
+            return evaluate_rerank(pq, lists, self.n_docs, self.avgdl,
+                                   cfg, k, prune=False,
+                                   oversample=oversample)
         return evaluate(pq, lists, self.n_docs, self.avgdl, cfg, k,
                         prune=False)
 
