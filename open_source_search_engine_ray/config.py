@@ -74,6 +74,16 @@ class IndexConfig:
     # sub-partitions per salt for the on-disk dl table (scale knob: each
     # dl file holds N / (num_salts * dl_subparts) docs)
     dl_subparts: int = 1
+    # intra-turn repeated-fragment suppression (getFragVec analogue,
+    # XmlDoc.cpp:20286-20304): 0 = off; N > 0 masks every word covered by
+    # an N-word window that repeats an earlier window of the SAME turn
+    # (the reference dedups 5-word shingles per document; the turn is this
+    # engine's streaming-safe unit — cross-turn boilerplate is the
+    # corpus-level dedup family's job).  Masked words index nothing —
+    # no unigram or bigram posting — and count nothing toward doc length;
+    # the oracle applies the identical mask (functions/tokenizer.py
+    # fragment_mask, shared code).
+    fragment_suppress: int = 0
     # "spill": stateful actor-pool segment writers spill shard-sorted runs,
     # per-shard merge tasks encode (LSM dump/merge analogue — scales with
     # CPUs).  "groupby": ray.data groupby(shard).map_groups (object-store

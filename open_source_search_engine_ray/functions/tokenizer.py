@@ -267,9 +267,56 @@ class TokenHashCache:
         return out
 
 
+def fragment_mask(wids: np.ndarray, row_ids: np.ndarray,
+                  n: int) -> np.ndarray:
+    """Repeated-fragment suppression mask (``getFragVec`` analogue,
+    ``XmlDoc.cpp:20286-20304``: the reference rolls a 5-word XOR hash over
+    the document and demotes any ≥5-word sequence already seen).
+
+    Token ``t`` is masked (True) iff it is covered by an ``n``-word window,
+    contained in a single row (turn), whose word-id sequence already
+    occurred at an earlier window start of the SAME row.  The first
+    occurrence of a fragment keeps full weight; later copies are
+    suppressed entirely.  Window identity uses an order-sensitive
+    polynomial key over the 64-bit word ids (collisions ~ windows²/2⁶⁴,
+    and the oracle shares this exact function, so engine/oracle identity
+    holds regardless).  Fully vectorized: no per-token Python.
+    """
+    m = len(wids)
+    out = np.zeros(m, dtype=bool)
+    if n <= 0 or m < n:
+        return out
+    nwin = m - n + 1
+    # window start s is valid iff tokens s..s+n-1 share a row
+    valid = row_ids[:nwin] == row_ids[n - 1:]
+    key = np.zeros(nwin, dtype=np.uint64)
+    C = np.uint64(0x9E3779B97F4A7C15)
+    for j in range(n):
+        key = key * C + wids[j:nwin + j]
+    starts = np.flatnonzero(valid)
+    if len(starts) == 0:
+        return out
+    rk = row_ids[starts]
+    kk = key[starts]
+    order = np.lexsort((starts, kk, rk))
+    rs, ks, ss = rk[order], kk[order], starts[order]
+    first = np.empty(len(ss), dtype=bool)
+    first[0] = True
+    first[1:] = (rs[1:] != rs[:-1]) | (ks[1:] != ks[:-1])
+    rep_starts = ss[~first]
+    if len(rep_starts) == 0:
+        return out
+    # coverage of all repeated windows via a difference array
+    delta = np.zeros(m + 1, dtype=np.int64)
+    np.add.at(delta, rep_starts, 1)
+    np.add.at(delta, rep_starts + n, -1)
+    return np.cumsum(delta[:m]) > 0
+
+
 def terms_for_texts(texts: list[str], cache: TokenHashCache,
                     index_bigrams: bool = True,
-                    term_mask: bool = True):
+                    term_mask: bool = True,
+                    fragment_suppress: int = 0):
     """Tokenize many texts and compute term ids + bigram ids, vectorized.
 
     Returns (row_ids, term_ids, positions, is_bigram) flat numpy arrays,
@@ -297,7 +344,17 @@ def terms_for_texts(texts: list[str], cache: TokenHashCache,
     wids = cache.lookup(all_tokens)
     term = (wids & TERMID_MASK) if term_mask else wids
 
+    # repeated-fragment suppression: masked tokens index nothing (no
+    # unigram posting, no bigram on either side) and are excluded from
+    # the word counts the callers derive from the returned rows
+    sup = (fragment_mask(wids, row_ids, fragment_suppress)
+           if fragment_suppress > 0 else None)
+    keep = None if sup is None else np.flatnonzero(~sup)
+
     if not index_bigrams or n == 0:
+        if keep is not None:
+            return (row_ids[keep], term[keep], positions[keep],
+                    np.zeros(len(keep), dtype=bool))
         return (row_ids, term, positions,
                 np.zeros(n, dtype=bool))
 
@@ -306,8 +363,14 @@ def terms_for_texts(texts: list[str], cache: TokenHashCache,
     same_row = row_ids[:-1] == row_ids[1:] if n > 1 else np.zeros(0, dtype=bool)
     widx_arr = np.asarray(widx_all, dtype=np.int64)
     window_ok = (widx_arr[1:] - widx_arr[:-1] <= 32) if n > 1 else same_row
-    cand = np.flatnonzero(same_row & window_ok)
+    pair_ok = same_row & window_ok
+    if sup is not None and n > 1:
+        pair_ok &= ~sup[:-1] & ~sup[1:]
+    cand = np.flatnonzero(pair_ok)
     if len(cand) == 0:
+        if keep is not None:
+            return (row_ids[keep], term[keep], positions[keep],
+                    np.zeros(len(keep), dtype=bool))
         return row_ids, term, positions, np.zeros(n, dtype=bool)
 
     next_tok_bytes = [lower_utf8(all_tokens[i + 1]) for i in cand]
@@ -327,10 +390,14 @@ def terms_for_texts(texts: list[str], cache: TokenHashCache,
     h2 = np.where(xor_mask, h2 ^ PHRASE_STOPWORD_XOR, h2)
     bigram_term = (h2 & TERMID_MASK) if term_mask else h2
 
-    out_row = np.concatenate([row_ids, row_ids[cand]])
-    out_term = np.concatenate([term, bigram_term])
-    out_pos = np.concatenate([positions, positions[cand]])
-    out_big = np.concatenate([np.zeros(n, dtype=bool),
+    if keep is None:
+        u_row, u_term, u_pos = row_ids, term, positions
+    else:
+        u_row, u_term, u_pos = row_ids[keep], term[keep], positions[keep]
+    out_row = np.concatenate([u_row, row_ids[cand]])
+    out_term = np.concatenate([u_term, bigram_term])
+    out_pos = np.concatenate([u_pos, positions[cand]])
+    out_big = np.concatenate([np.zeros(len(u_row), dtype=bool),
                               np.ones(len(cand), dtype=bool)])
     return out_row, out_term, out_pos, out_big
 

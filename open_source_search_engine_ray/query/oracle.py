@@ -40,7 +40,8 @@ class OracleIndex:
 
         cache = TokenHashCache()
         rows, terms, pos, is_big = terms_for_texts(
-            [t or "" for t in text], cache, index_bigrams=cfg.index_bigrams)
+            [t or "" for t in text], cache, index_bigrams=cfg.index_bigrams,
+            fragment_suppress=cfg.fragment_suppress)
 
         # doc stats (word tokens only)
         field_lens: dict[int, list[int]] = {}

@@ -61,6 +61,7 @@ class TurnStats:
 
     def __init__(self, config: IndexConfig | None = None):
         self.config = config or IndexConfig()
+        self.cache = TokenHashCache()
         self.wq = np.asarray(
             [int(round(w * 4)) for w in self.config.field_weights],
             dtype=np.int64)
@@ -70,8 +71,17 @@ class TurnStats:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         n = len(texts)
-        counts = np.fromiter((len(tokenize(t or "")[0]) for t in texts),
-                             dtype=np.int64, count=n)
+        if self.config.fragment_suppress > 0:
+            # suppressed tokens count nothing toward doc length — derive
+            # counts from the same masked term stream the postings use
+            rows_m, _, _, _ = terms_for_texts(
+                [t or "" for t in texts], self.cache, index_bigrams=False,
+                fragment_suppress=self.config.fragment_suppress)
+            counts = np.zeros(n, dtype=np.int64)
+            np.add.at(counts, rows_m, 1)
+        else:
+            counts = np.fromiter((len(tokenize(t or "")[0]) for t in texts),
+                                 dtype=np.int64, count=n)
         fields = _fields_for(batch["role"], batch["tool"])
         doc_ids = _doc_ids_for_column(batch["conv_id"])
         lens = np.zeros((n, NUM_FIELDS), dtype=np.int64)
@@ -152,7 +162,8 @@ class TokenizePostings:
 
         rows, terms, pos, is_big = terms_for_texts(
             [t or "" for t in texts], self.cache,
-            index_bigrams=self.config.index_bigrams)
+            index_bigrams=self.config.index_bigrams,
+            fragment_suppress=self.config.fragment_suppress)
 
         # per-turn word-token counts → doc-stat partials
         n = len(texts)
