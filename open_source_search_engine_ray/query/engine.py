@@ -268,6 +268,34 @@ class IndexSearcher:
         total = int(len(candidate_docs(pq_, lists))) if with_total else None
         return docs[offset:offset + k], scores[offset:offset + k], total
 
+    def search_after(self, query: str, k: int = 10,
+                     after: tuple | None = None,
+                     synonyms: dict[str, list[str]] | None = None,
+                     lang: str = "en", telemetry: dict | None = None):
+        """Deep-paging cursor (``minSerpDocId``/``maxSerpScore`` resume,
+        ``PosdbTable.cpp:3948-3983``): returns ``(doc_ids, scores,
+        cursor)`` for the next ``k`` results strictly after
+        ``after=(score, doc_id)``; pass the returned ``cursor`` back to
+        continue.  ``cursor`` is ``None`` once exhausted.  Unlike
+        ``search_page`` the cost per step does not grow with depth: the
+        cursor filters candidates BEFORE top-k selection (see
+        :func:`kernel.evaluate_after`), which is what makes bulk export
+        by rank O(total) instead of O(total²/k)."""
+        from .kernel import evaluate_after
+
+        if synonyms == "default":
+            from ..functions.synonyms import DEFAULT_SYNONYMS
+            synonyms = DEFAULT_SYNONYMS
+        pq_ = parse_query(query, self.config.bigram_weight,
+                          synonyms=synonyms, lang=lang)
+        lists = self._lists_for(pq_)
+        docs, scores = evaluate_after(pq_, lists, self.n_docs, self.avgdl,
+                                      self.config, k, after=after,
+                                      telemetry=telemetry)
+        cursor = ((float(scores[-1]), int(docs[-1]))
+                  if len(docs) == k else None)
+        return docs, scores, cursor
+
     def explain(self, query: str, k: int = 10,
                 rerank: str | None = None, oversample: int = 4) -> dict:
         """Query plan inspection (the PageStats/&debug=1 analogue): parsed

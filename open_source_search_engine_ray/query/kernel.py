@@ -631,7 +631,15 @@ def _score_candidates(query: ParsedQuery,
     share, so results are bit-identical."""
     if len(cand) == 0:
         return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.float64)
+    scores = _scores_for(query, lists, cand, n_docs, avgdl, config, wq)
+    return topk_merge(cand, scores, k)
 
+
+def _scores_for(query: ParsedQuery,
+                lists: dict[int, TermPostings | None],
+                cand: np.ndarray, n_docs: int, avgdl: float,
+                config: IndexConfig, wq: np.ndarray) -> np.ndarray:
+    """Canonical float64 scores aligned with ``cand`` (unsorted)."""
     scores = np.zeros(len(cand), dtype=np.float64)
     scorable = [t for t in query.terms if not t.negative]
     for t in scorable:
@@ -651,4 +659,40 @@ def _score_candidates(query: ParsedQuery,
         contrib = term_scores(tfw, tp.dl[sel], avgdl, config.k1, config.b,
                               float(iv))
         scores[present] += np.float64(t.weight) * contrib
+    return scores
+
+
+def evaluate_after(query: ParsedQuery,
+                   lists: dict[int, TermPostings | None],
+                   n_docs: int, avgdl: float, config: IndexConfig, k: int,
+                   after: tuple | None = None,
+                   telemetry: dict | None = None):
+    """Cursor-paged evaluation — the ``minSerpDocId``/``maxSerpScore``
+    resume of the reference (``PosdbTable.cpp:3948-3983``): return the
+    next ``k`` results STRICTLY after ``after=(score, doc_id)`` in the
+    global (score desc, docId asc) order.
+
+    Unlike offset paging (``search_page``, which evaluates
+    top-(offset+k)), the cursor filter runs BEFORE top-k selection, so
+    the selection pool holds only post-cursor docs: per step the cost is
+    one candidate scan (unavoidable — scores above the cursor must be
+    recognized to be excluded, exactly as the reference re-intersects
+    with the serp window) plus selection over the SHRINKING pool, with
+    no O(offset) re-ranking of earlier pages.  ``telemetry`` (optional
+    dict) receives ``scanned`` (candidate count) and ``pool`` (post-
+    cursor candidates actually ranked) — tests assert ``pool`` decreases
+    page over page."""
+    wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
+                    dtype=np.int64)
+    cand = candidate_docs(query, lists)
+    scores = _scores_for(query, lists, cand, n_docs, avgdl, config, wq)
+    n_scanned = len(cand)
+    if after is not None:
+        a_s = np.float64(after[0])
+        a_d = np.uint64(after[1])
+        keep = (scores < a_s) | ((scores == a_s) & (cand > a_d))
+        cand, scores = cand[keep], scores[keep]
+    if telemetry is not None:
+        telemetry["scanned"] = int(n_scanned)
+        telemetry["pool"] = int(len(cand))
     return topk_merge(cand, scores, k)

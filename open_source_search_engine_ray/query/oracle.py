@@ -134,6 +134,21 @@ class OracleIndex:
         total = int(len(candidate_docs(pq, lists))) if with_total else None
         return docs[offset:offset + k], scores[offset:offset + k], total
 
+    def search_after(self, query: str, k: int = 10,
+                     after: tuple | None = None,
+                     telemetry: dict | None = None):
+        """Mirror of IndexSearcher.search_after (same kernel path)."""
+        from .kernel import evaluate_after
+
+        pq = parse_query(query, self.config.bigram_weight)
+        lists = {t.term_id: self._lists.get(t.term_id) for t in pq.terms}
+        docs, scores = evaluate_after(pq, lists, self.n_docs, self.avgdl,
+                                      self.config, k, after=after,
+                                      telemetry=telemetry)
+        cursor = ((float(scores[-1]), int(docs[-1]))
+                  if len(docs) == k else None)
+        return docs, scores, cursor
+
     def golden_topk(self, queries: list[tuple[str, str, int]]) -> pa.Table:
         """FIXTURES.md §3 golden_topk table."""
         out = {"query_id": [], "rank": [], "doc_id": [], "conv_id": [],
