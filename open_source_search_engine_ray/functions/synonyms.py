@@ -2,31 +2,49 @@
 
 The reference treats synonyms as core relevance: STO dictionaries +
 Wiktionary-derived tables (``Synonyms.cpp:53-140``, ``sto/``), generated
-word variations (``word_variations/WordVariations.cpp`` — verb/noun
-morphology, possessive strip ``XmlDoc_Indexing.cpp:1973-2018``), and
-number variants — its system test asserts ``'the one'`` expands to
-``['the one', 'the', 'one', '1']`` (``test/system/test_search_terms.py:4-18``),
-all weighted ``synonymWeight = 0.9`` (``Parms.cpp:3879-3886``).
+word variations (``word_variations/WordVariations.cpp`` — noun
+singular/plural, verb-form and spelling variations, generated partly by
+rule and partly by lexicon lookup), possessive strip
+(``XmlDoc_Indexing.cpp:1973-2018``), and number variants — its system test
+asserts ``'the one'`` expands to ``['the one', 'the', 'one', '1']``
+(``test/system/test_search_terms.py:4-18``), all weighted
+``synonymWeight = 0.9`` (``Parms.cpp:3879-3886``).
 
-The STO dictionaries themselves are data files this repo does not ship;
-this module provides a documented substitute with the same *mechanism*:
+The STO dictionaries are CC-licensed data files this repo does not ship
+(no network in the build environment); this module instead implements the
+reference's *generative* mechanism (``WordVariationGenerator``) in full
+for English, so the effective table is rule-generated and unbounded:
 
 1. number-word ↔ digit variants (both directions, 0-20 + tens + scales);
-2. a small curated English synonym table (hand-written, public-knowledge
-   word pairs — the stand-in for the STO dictionary payload);
-3. generated variations: possessive strip (``dave's`` → ``dave``),
-   apostrophe-less form, naive plural/singular (add/strip ``s``) — the
-   ``WordVariations`` analogue.
+2. irregular English noun plurals and verb forms (≈270 lemmas — standard
+   public-knowledge linguistic facts, typed from grammar, no imported
+   data; every form of a lemma expands to the others);
+3. regular inflection by rule, both directions: noun -s/-es/-ies/-ves,
+   verb -s/-ed/-ing with e-drop and consonant doubling, possessive
+   strip, apostrophe-less contractions;
+4. British ↔ American spelling by suffix rule (-ise/-ize, -isation/
+   -ization, -our/-or, -re/-er, -ogue/-og, -ae-/-oe- simplification,
+   single/double-l) plus specific public word pairs;
+5. a small curated synonym-set table (the STO-payload stand-in).
+
+**Licensing**: everything here is rule code plus short factual lists of
+irregular English forms — facts of the language, not a copied database;
+no third-party dictionary is embedded.
 
 ``DEFAULT_SYNONYMS`` is a dict-like object usable directly as the
 ``synonyms=`` argument of ``parse_query`` / ``IndexSearcher.search`` /
 ``OracleIndex.search``: lookups generate variants on the fly, so the
-"table" needs no corpus-sized storage.  Expansion semantics (OR-unit of
+"table" needs no corpus-sized storage.  Over-generated variants that are
+not real words are harmless by construction — they have df=0 in the index
+and contribute nothing — but each costs a posting lookup, so expansion is
+capped at ``MAX_VARIANTS`` per token.  Expansion semantics (OR-unit of
 {base, variants}, weight 0.9, base term's requiredness transfers to the
 unit) live in ``query/parse.py``.
 """
 
 from __future__ import annotations
+
+MAX_VARIANTS = 8
 
 NUMBER_WORDS = {
     "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
@@ -69,9 +87,288 @@ for _s in SYNONYM_SETS:
     for _w in _s:
         _SET_INDEX[_w] = [x for x in _s if x != _w]
 
+# --- irregular morphology (public-knowledge English grammar facts) ---------
+
+IRREGULAR_NOUNS: dict[str, str] = {
+    "man": "men", "woman": "women", "child": "children", "person": "people",
+    "foot": "feet", "tooth": "teeth", "goose": "geese", "mouse": "mice",
+    "louse": "lice", "ox": "oxen", "die": "dice", "penny": "pence",
+    "criterion": "criteria", "phenomenon": "phenomena", "datum": "data",
+    "medium": "media", "memorandum": "memoranda", "curriculum": "curricula",
+    "bacterium": "bacteria", "stratum": "strata", "addendum": "addenda",
+    "erratum": "errata", "analysis": "analyses", "basis": "bases",
+    "crisis": "crises", "thesis": "theses", "hypothesis": "hypotheses",
+    "diagnosis": "diagnoses", "oasis": "oases", "axis": "axes",
+    "parenthesis": "parentheses", "synthesis": "syntheses",
+    "synopsis": "synopses", "ellipsis": "ellipses", "emphasis": "emphases",
+    "appendix": "appendices", "index": "indices", "matrix": "matrices",
+    "vertex": "vertices", "vortex": "vortices", "apex": "apices",
+    "radius": "radii", "alumnus": "alumni", "focus": "foci",
+    "fungus": "fungi", "nucleus": "nuclei", "stimulus": "stimuli",
+    "syllabus": "syllabi", "cactus": "cacti", "locus": "loci",
+    "genus": "genera", "corpus": "corpora", "opus": "opera",
+    "larva": "larvae", "alga": "algae", "antenna": "antennae",
+    "formula": "formulae", "nebula": "nebulae", "vertebra": "vertebrae",
+    "alumna": "alumnae", "schema": "schemata", "stigma": "stigmata",
+    "automaton": "automata", "leaf": "leaves", "loaf": "loaves",
+    "calf": "calves", "half": "halves", "knife": "knives",
+    "life": "lives", "wife": "wives", "shelf": "shelves",
+    "thief": "thieves", "wolf": "wolves", "elf": "elves",
+    "scarf": "scarves", "hoof": "hooves", "dwarf": "dwarves",
+    "echo": "echoes", "hero": "heroes", "potato": "potatoes",
+    "tomato": "tomatoes", "torpedo": "torpedoes", "veto": "vetoes",
+    "cargo": "cargoes", "embargo": "embargoes", "mosquito": "mosquitoes",
+    "quiz": "quizzes",
+}
+_PLURAL_TO_SING = {v: k for k, v in IRREGULAR_NOUNS.items()}
+
+# unchanging plurals — never add/strip s
+UNCOUNTABLE = frozenset([
+    "sheep", "deer", "fish", "moose", "series", "species", "aircraft",
+    "news", "mathematics", "physics", "economics", "measles", "swine",
+    "salmon", "trout", "bison", "corps", "means", "offspring", "shrimp",
+])
+
+# base: (past, participle); forms where past == participle repeat it
+IRREGULAR_VERBS: dict[str, tuple[str, str]] = {
+    "be": ("was", "been"), "have": ("had", "had"), "do": ("did", "done"),
+    "say": ("said", "said"), "go": ("went", "gone"), "get": ("got", "gotten"),
+    "make": ("made", "made"), "know": ("knew", "known"),
+    "think": ("thought", "thought"), "take": ("took", "taken"),
+    "see": ("saw", "seen"), "come": ("came", "come"),
+    "want": ("wanted", "wanted"), "find": ("found", "found"),
+    "give": ("gave", "given"), "tell": ("told", "told"),
+    "run": ("ran", "run"), "keep": ("kept", "kept"),
+    "hold": ("held", "held"), "write": ("wrote", "written"),
+    "stand": ("stood", "stood"), "hear": ("heard", "heard"),
+    "let": ("let", "let"), "mean": ("meant", "meant"),
+    "set": ("set", "set"), "meet": ("met", "met"), "pay": ("paid", "paid"),
+    "sit": ("sat", "sat"), "speak": ("spoke", "spoken"),
+    "lie": ("lay", "lain"), "lead": ("led", "led"),
+    "read": ("read", "read"), "grow": ("grew", "grown"),
+    "lose": ("lost", "lost"), "fall": ("fell", "fallen"),
+    "send": ("sent", "sent"), "build": ("built", "built"),
+    "understand": ("understood", "understood"), "draw": ("drew", "drawn"),
+    "break": ("broke", "broken"), "spend": ("spent", "spent"),
+    "cut": ("cut", "cut"), "rise": ("rose", "risen"),
+    "drive": ("drove", "driven"), "buy": ("bought", "bought"),
+    "wear": ("wore", "worn"), "choose": ("chose", "chosen"),
+    "seek": ("sought", "sought"), "throw": ("threw", "thrown"),
+    "catch": ("caught", "caught"), "deal": ("dealt", "dealt"),
+    "win": ("won", "won"), "forget": ("forgot", "forgotten"),
+    "lay": ("laid", "laid"), "sell": ("sold", "sold"),
+    "fight": ("fought", "fought"), "bear": ("bore", "borne"),
+    "teach": ("taught", "taught"), "eat": ("ate", "eaten"),
+    "sing": ("sang", "sung"), "strike": ("struck", "struck"),
+    "hang": ("hung", "hung"), "shake": ("shook", "shaken"),
+    "ride": ("rode", "ridden"), "feed": ("fed", "fed"),
+    "shoot": ("shot", "shot"), "fly": ("flew", "flown"),
+    "beat": ("beat", "beaten"), "drink": ("drank", "drunk"),
+    "hide": ("hid", "hidden"), "bring": ("brought", "brought"),
+    "begin": ("began", "begun"), "become": ("became", "become"),
+    "leave": ("left", "left"), "feel": ("felt", "felt"),
+    "put": ("put", "put"), "show": ("showed", "shown"),
+    "sleep": ("slept", "slept"), "steal": ("stole", "stolen"),
+    "swim": ("swam", "swum"), "swear": ("swore", "sworn"),
+    "swing": ("swung", "swung"), "tear": ("tore", "torn"),
+    "wake": ("woke", "woken"), "weave": ("wove", "woven"),
+    "freeze": ("froze", "frozen"), "blow": ("blew", "blown"),
+    "bend": ("bent", "bent"), "bind": ("bound", "bound"),
+    "bite": ("bit", "bitten"), "bleed": ("bled", "bled"),
+    "burst": ("burst", "burst"), "cast": ("cast", "cast"),
+    "cling": ("clung", "clung"), "creep": ("crept", "crept"),
+    "dig": ("dug", "dug"), "dream": ("dreamt", "dreamt"),
+    "feed": ("fed", "fed"), "flee": ("fled", "fled"),
+    "fling": ("flung", "flung"), "forbid": ("forbade", "forbidden"),
+    "forgive": ("forgave", "forgiven"), "grind": ("ground", "ground"),
+    "kneel": ("knelt", "knelt"), "lend": ("lent", "lent"),
+    "light": ("lit", "lit"), "quit": ("quit", "quit"),
+    "ring": ("rang", "rung"), "shed": ("shed", "shed"),
+    "shine": ("shone", "shone"), "shrink": ("shrank", "shrunk"),
+    "shut": ("shut", "shut"), "sink": ("sank", "sunk"),
+    "slide": ("slid", "slid"), "sow": ("sowed", "sown"),
+    "spin": ("spun", "spun"), "spit": ("spat", "spat"),
+    "split": ("split", "split"), "spread": ("spread", "spread"),
+    "spring": ("sprang", "sprung"), "stick": ("stuck", "stuck"),
+    "sting": ("stung", "stung"), "stink": ("stank", "stunk"),
+    "strive": ("strove", "striven"), "sweep": ("swept", "swept"),
+    "tread": ("trod", "trodden"), "weep": ("wept", "wept"),
+    "wind": ("wound", "wound"), "withdraw": ("withdrew", "withdrawn"),
+    "wring": ("wrung", "wrung"), "arise": ("arose", "arisen"),
+    "awake": ("awoke", "awoken"), "bet": ("bet", "bet"),
+    "burn": ("burnt", "burnt"), "cost": ("cost", "cost"),
+    "hit": ("hit", "hit"), "hurt": ("hurt", "hurt"),
+    "learn": ("learnt", "learnt"), "prove": ("proved", "proven"),
+    "smell": ("smelt", "smelt"), "spell": ("spelt", "spelt"),
+    "spill": ("spilt", "spilt"), "spoil": ("spoilt", "spoilt"),
+}
+# every irregular form → the other forms of its lemma
+_VERB_FORMS: dict[str, list[str]] = {}
+for _b, (_p, _pp) in IRREGULAR_VERBS.items():
+    _forms = list(dict.fromkeys([_b, _p, _pp]))
+    for _f in _forms:
+        _VERB_FORMS.setdefault(_f, [])
+        for _o in _forms:
+            if _o != _f and _o not in _VERB_FORMS[_f]:
+                _VERB_FORMS[_f].append(_o)
+
+# --- British ↔ American spelling -------------------------------------------
+
+# specific public word pairs first (rule exceptions included)
+UK_US_PAIRS: list[tuple[str, str]] = [
+    ("grey", "gray"), ("tyre", "tire"), ("kerb", "curb"),
+    ("cheque", "check"), ("draught", "draft"), ("plough", "plow"),
+    ("mould", "mold"), ("moult", "molt"), ("smoulder", "smolder"),
+    ("sceptic", "skeptic"), ("sceptical", "skeptical"),
+    ("aluminium", "aluminum"), ("aeroplane", "airplane"),
+    ("maths", "math"), ("pyjamas", "pajamas"), ("whisky", "whiskey"),
+    ("jewellery", "jewelry"), ("programme", "program"),
+    ("storey", "story"), ("gaol", "jail"), ("annexe", "annex"),
+    ("artefact", "artifact"), ("behove", "behoove"),
+    ("cosy", "cozy"), ("doughnut", "donut"), ("furore", "furor"),
+    ("liquorice", "licorice"), ("mollusc", "mollusk"),
+    ("omelette", "omelet"), ("speciality", "specialty"),
+    ("manoeuvre", "maneuver"), ("oesophagus", "esophagus"),
+    ("anaemia", "anemia"), ("anaesthesia", "anesthesia"),
+    ("encyclopaedia", "encyclopedia"), ("mediaeval", "medieval"),
+    ("paediatric", "pediatric"), ("archaeology", "archeology"),
+    ("foetus", "fetus"), ("oestrogen", "estrogen"),
+    ("diarrhoea", "diarrhea"), ("leukaemia", "leukemia"),
+]
+_UK_US: dict[str, str] = {}
+for _a, _b2 in UK_US_PAIRS:
+    _UK_US[_a] = _b2
+    _UK_US[_b2] = _a
+
+# suffix rules applied both directions: (uk_suffix, us_suffix)
+_UK_US_SUFFIX: list[tuple[str, str]] = [
+    ("isation", "ization"), ("isations", "izations"),
+    ("ise", "ize"), ("ised", "ized"), ("ises", "izes"), ("ising", "izing"),
+    ("yse", "yze"), ("ysed", "yzed"), ("yses", "yzes"), ("ysing", "yzing"),
+    ("our", "or"), ("ours", "ors"), ("ourite", "orite"),
+    ("ourites", "orites"), ("ourful", "orful"), ("ouring", "oring"),
+    ("oured", "ored"),
+    ("tre", "ter"), ("tres", "ters"),
+    ("logue", "log"), ("logues", "logs"),
+    ("lled", "led"), ("lling", "ling"), ("ller", "ler"), ("llers", "lers"),
+]
+# words where -our/-or etc. must NOT convert (rule exceptions)
+_UK_US_BLOCK = frozenset([
+    "four", "your", "hour", "sour", "tour", "pour", "flour", "dour",
+    "velour", "amour", "our", "ours", "hours", "tours", "doctor",
+    "error", "mirror", "actor", "motor", "tailor", "sailor", "mayor",
+])
+
+
+def _spelling_variants(low: str) -> list[str]:
+    out: list[str] = []
+    if low in _UK_US:
+        out.append(_UK_US[low])
+    if low in _UK_US_BLOCK:
+        return out
+    for a, b in _UK_US_SUFFIX:
+        if low.endswith(a) and len(low) > len(a) + 1:
+            out.append(low[:-len(a)] + b)
+        elif low.endswith(b) and len(low) > len(b) + 1:
+            out.append(low[:-len(b)] + a)
+    return out
+
+
+# --- regular inflection rules ----------------------------------------------
+
+_VOWELS = "aeiou"
+
+
+def _pluralize(low: str) -> list[str]:
+    if low in IRREGULAR_NOUNS:
+        return [IRREGULAR_NOUNS[low]]
+    if low in UNCOUNTABLE or low in _PLURAL_TO_SING:
+        return []
+    if low.endswith(("s", "x", "z", "ch", "sh")):
+        return [low + "es"]
+    if low.endswith("o"):
+        return [low + "es", low + "s"]    # -o plurals vary; df=0 is free
+    if low.endswith("y") and len(low) > 2 and low[-2] not in _VOWELS:
+        return [low[:-1] + "ies"]
+    return [low + "s"]
+
+
+def _singularize(low: str) -> list[str]:
+    if low in _PLURAL_TO_SING:
+        return [_PLURAL_TO_SING[low]]
+    if low in UNCOUNTABLE:
+        return []
+    out: list[str] = []
+    if low.endswith("ies") and len(low) > 4:
+        out.append(low[:-3] + "y")
+    elif low.endswith("ves") and len(low) > 4:
+        out.append(low[:-3] + "f")
+        out.append(low[:-3] + "fe")
+    elif low.endswith("es") and len(low) > 3:
+        if low.endswith(("ses", "xes", "zes", "ches", "shes")):
+            out.append(low[:-2])
+        else:
+            out.append(low[:-1])        # e.g. "tables" -> "table"
+    elif low.endswith("s") and len(low) > 3 and not low.endswith("ss"):
+        out.append(low[:-1])
+    return out
+
+
+def _verb_variants(low: str) -> list[str]:
+    """Regular verb-form generation + stripping (rule direction both
+    ways); irregulars come from the table and suppress the bogus regular
+    forms (``went`` must not yield ``wented``), while irregular BASES
+    still take the regular -ing/-s path (``run`` → ``running``)."""
+    out = list(_VERB_FORMS.get(low, ()))
+    n = len(low)
+    irr_base = low in IRREGULAR_VERBS
+    irr_form = low in _VERB_FORMS and not irr_base  # past/participle
+    # generate inflected forms from a plausible base
+    if low.isalpha() and n >= 2 and not irr_form \
+            and low not in _PLURAL_TO_SING:
+        if low.endswith("e") and not low.endswith(("ee", "ye", "oe")):
+            out.append(low[:-1] + "ing")                  # make→making
+            if not irr_base:
+                out.append(low + "d")
+        elif low.endswith("y") and low[-2:-1] not in _VOWELS:
+            out.append(low + "ing")                       # try→trying
+            if not irr_base:
+                out.append(low[:-1] + "ied")
+        else:
+            out.append(low + "ing")
+            if not irr_base:
+                out.append(low + "ed")
+            # CVC doubling (stop→stopped) — generate both; fake forms
+            # have df=0 and cost one lookup
+            if (n >= 3 and low[-1] not in _VOWELS + "wxy"
+                    and low[-2] in _VOWELS and low[-3] not in _VOWELS):
+                out.append(low + low[-1] + "ing")
+                if not irr_base:
+                    out.append(low + low[-1] + "ed")
+    # strip inflections back to base candidates
+    if irr_form:
+        return out
+    if low.endswith("ing") and n > 5:
+        stem = low[:-3]
+        out.append(stem)                                  # walking→walk
+        out.append(stem + "e")                            # making→make
+        if len(stem) >= 2 and stem[-1] == stem[-2]:
+            out.append(stem[:-1])                         # running→run
+    elif low.endswith("ied") and n > 4:
+        out.append(low[:-3] + "y")                        # tried→try
+    elif low.endswith("ed") and n > 4:
+        stem = low[:-2]
+        out.append(stem)                                  # walked→walk
+        out.append(stem + "e" if not stem.endswith("e") else stem[:-1])
+        if len(stem) >= 2 and stem[-1] == stem[-2]:
+            out.append(stem[:-1])                         # stopped→stop
+    return out
+
 
 def variants_for(token: str) -> list[str]:
-    """All expansion alternatives for one lowercase query token."""
+    """All expansion alternatives for one lowercase query token, capped at
+    ``MAX_VARIANTS`` (priority: number, curated set, irregular forms,
+    possessive/contraction, plural/singular, verb forms, spelling)."""
     out: list[str] = []
     low = token.lower()
     if low in NUMBER_WORDS:
@@ -79,15 +376,18 @@ def variants_for(token: str) -> list[str]:
     if low in DIGIT_WORDS:
         out.append(DIGIT_WORDS[low])
     out.extend(_SET_INDEX.get(low, ()))
-    # generated variations (WordVariations analogue)
     if low.endswith("'s") and len(low) > 2:       # possessive strip
         out.append(low[:-2])
     elif "'" in low:                              # we're → were
         out.append(low.replace("'", ""))
-    elif low.endswith("s") and len(low) > 3 and not low.endswith("ss"):
-        out.append(low[:-1])                      # naive singular
-    elif low.isalpha() and len(low) > 2:
-        out.append(low + "s")                     # naive plural
+    elif low.isalpha() and len(low) >= 2:
+        # irregular forms first — the cap must never truncate them in
+        # favor of rule-generated guesses
+        out.extend(_VERB_FORMS.get(low, ()))
+        out.extend(_pluralize(low))
+        out.extend(_singularize(low))
+        out.extend(_verb_variants(low))
+        out.extend(_spelling_variants(low))
     # dedup, preserve order, never echo the base
     seen = {low}
     uniq = []
@@ -95,7 +395,7 @@ def variants_for(token: str) -> list[str]:
         if v not in seen:
             seen.add(v)
             uniq.append(v)
-    return uniq
+    return uniq[:MAX_VARIANTS]
 
 
 class GenerativeSynonyms:
