@@ -84,6 +84,15 @@ class IndexConfig:
     # the oracle applies the identical mask (functions/tokenizer.py
     # fragment_mask, shared code).
     fragment_suppress: int = 0
+    # intra-turn position semantics: "ordinal" (token ordinal — phrase
+    # adjacency is consecutive ordinals, punctuation invisible) or
+    # "monotone" (the reference's getWordPosVec cursor,
+    # XmlDoc.cpp:20056-20142: word +1, whitespace/hyphen gap +1, other
+    # punct +2, sentence-ending punct +30 — proximity distances become
+    # sentence-aware and quoted phrases must match the query's own
+    # punctuation spacing).  Query-side phrase offsets follow the same
+    # cursor (query/parse.py); the oracle shares both code paths.
+    position_mode: str = "ordinal"
     # "spill": stateful actor-pool segment writers spill shard-sorted runs,
     # per-shard merge tasks encode (LSM dump/merge analogue — scales with
     # CPUs).  "groupby": ray.data groupby(shard).map_groups (object-store

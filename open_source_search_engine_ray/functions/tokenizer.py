@@ -61,6 +61,25 @@ _ASCII_WORD = re.compile(rf"(?:{_CORE_NUM}|{_CORE_GEN}{_EXT}){_DEC}{_AGAIN}")
 
 _NON_ASCII = re.compile(r"[^\x00-\x7f]")
 
+# monotone position cursor (getWordPosVec, XmlDoc.cpp:20056-20142): a word
+# takes the cursor then advances it by 1; the punct run before a word
+# advances it by 1 (whitespace, lone hyphen), by SENT_GAP when it contains
+# a sentence-ending character (the Sections sentence-boundary +SENT_UNITS
+# analogue — this engine detects sentences from punctuation, having no
+# HTML), else by 2 ("animal (dog)").
+SENT_GAP = 30
+_SENT_CHARS = frozenset(".!?")
+
+
+def _gap_incr(g: str) -> int:
+    if not g:
+        return 0
+    if _SENT_CHARS.intersection(g):
+        return SENT_GAP
+    if g.isspace() or g == "-":
+        return 1
+    return 2
+
 
 # --- unicode scanner fallback ---------------------------------------------
 
@@ -107,13 +126,16 @@ def _is_word_char(ch: str) -> bool:
     return ch.isalnum() and ch != "_"
 
 
-def _scan_unicode(text: str) -> tuple[list[str], list[bool], list[int]]:
+def _scan_unicode(text: str):
     """Scanner path for non-ASCII text.  Returns (tokens, hyphen_after,
-    word_index) where word_index counts words including punct runs (for the
-    32-word bigram window, Phrases.cpp:164)."""
+    word_index, mono_pos) where word_index counts words including punct
+    runs (for the 32-word bigram window, Phrases.cpp:164) and mono_pos is
+    the monotone position cursor (getWordPosVec analogue)."""
     tokens: list[str] = []
     hyphen_after: list[bool] = []
     windex: list[int] = []
+    mono: list[int] = []
+    dist = 0
     n = len(text)
     i = 0
     widx = 0  # index in the full word array (alnum + punct words)
@@ -126,6 +148,7 @@ def _scan_unicode(text: str) -> tuple[list[str], list[bool], list[int]]:
             if tokens and windex[-1] == widx - 1:
                 # punct word directly after the last alnum word
                 hyphen_after[-1] = "-" in text[start:i]
+            dist += _gap_incr(text[start:i])
             widx += 1
             continue
         # alnum word.  oldScript starts as the script of the first char when
@@ -187,29 +210,37 @@ def _scan_unicode(text: str) -> tuple[list[str], list[bool], list[int]]:
         tokens.append(text[j:i])
         hyphen_after.append(False)
         windex.append(widx)
+        mono.append(dist)
+        dist += 1
         widx += 1
         # a single-char-script word may be followed directly by another word
     if hyphen_after:
         # trailing punct has no following token: normalize so both paths
         # (regex / scanner) return identical flags
         hyphen_after[-1] = False
-    return tokens, hyphen_after, windex
+    return tokens, hyphen_after, windex, mono
 
 
-def tokenize(text: str) -> tuple[list[str], list[bool], list[int]]:
-    """Tokenize one text → (alnum tokens, hyphen_after flags, word indices).
+def tokenize_pos(text: str):
+    """Tokenize one text → (alnum tokens, hyphen_after flags, word
+    indices, monotone positions).
 
     ``hyphen_after[t]`` is True iff the punct run between token ``t`` and
     ``t+1`` directly follows token ``t`` and contains a hyphen.
     ``word_index[t]`` is the token's index in the full alternating
     alnum/punct word sequence (bounded bigram window check).
+    ``mono_pos[t]`` is the getWordPosVec-analogue cursor position (word
+    +1, whitespace/hyphen gap +1, other punct +2, sentence punct
+    +SENT_GAP) used when ``IndexConfig.position_mode == "monotone"``.
     """
     if not text:
-        return [], [], []
+        return [], [], [], []
     if _NON_ASCII.search(text) is None:
         tokens: list[str] = []
         hyphen_after: list[bool] = []
         windex: list[int] = []
+        mono: list[int] = []
+        dist = 0
         widx = 0
         last_end = 0
         for m in _ASCII_WORD.finditer(text):
@@ -218,14 +249,24 @@ def tokenize(text: str) -> tuple[list[str], list[bool], list[int]]:
                 # exactly one punct word between ASCII alnum words
                 if tokens:
                     hyphen_after[-1] = "-" in text[last_end:s]
+                dist += _gap_incr(text[last_end:s])
                 widx += 1
             tokens.append(m.group())
             hyphen_after.append(False)
             windex.append(widx)
+            mono.append(dist)
+            dist += 1
             widx += 1
             last_end = e
-        return tokens, hyphen_after, windex
+        return tokens, hyphen_after, windex, mono
     return _scan_unicode(text)
+
+
+def tokenize(text: str) -> tuple[list[str], list[bool], list[int]]:
+    """3-tuple view of :func:`tokenize_pos` (tokens, hyphen_after,
+    word indices) for callers that don't need positions."""
+    toks, hyph, widx, _ = tokenize_pos(text)
+    return toks, hyph, widx
 
 
 # --- batch term extraction -------------------------------------------------
@@ -316,31 +357,41 @@ def fragment_mask(wids: np.ndarray, row_ids: np.ndarray,
 def terms_for_texts(texts: list[str], cache: TokenHashCache,
                     index_bigrams: bool = True,
                     term_mask: bool = True,
-                    fragment_suppress: int = 0):
+                    fragment_suppress: int = 0,
+                    position_mode: str = "ordinal"):
     """Tokenize many texts and compute term ids + bigram ids, vectorized.
 
     Returns (row_ids, term_ids, positions, is_bigram) flat numpy arrays,
     where ``row_ids[i]`` is the index of the source text.  Positions are
-    token ordinals within each text (punct words carry no position).
+    token ordinals within each text (punct words carry no position) in
+    the default ``"ordinal"`` mode, or the getWordPosVec-analogue cursor
+    positions in ``"monotone"`` mode (sentence +SENT_GAP, punct +2 —
+    the reference's intra-document position-distance semantics,
+    ``XmlDoc.cpp:20056-20142``).
     """
     all_tokens: list[str] = []
     row_of: list[int] = []
     offsets = [0]
     hyph_all: list[bool] = []
     widx_all: list[int] = []
+    mono_all: list[int] = []
     for r, text in enumerate(texts):
-        toks, hyph, widx = tokenize(text)
+        toks, hyph, widx, mono = tokenize_pos(text)
         all_tokens.extend(toks)
         hyph_all.extend(hyph)
         widx_all.extend(widx)
+        mono_all.extend(mono)
         row_of.extend([r] * len(toks))
         offsets.append(len(all_tokens))
     n = len(all_tokens)
     row_ids = np.asarray(row_of, dtype=np.int64)
     offs = np.asarray(offsets, dtype=np.int64)
-    # ordinal position within each text
-    positions = (np.arange(n, dtype=np.int64) -
-                 np.repeat(offs[:-1], np.diff(offs))).astype(np.int32)
+    if position_mode == "monotone":
+        positions = np.asarray(mono_all, dtype=np.int32)
+    else:
+        # ordinal position within each text
+        positions = (np.arange(n, dtype=np.int64) -
+                     np.repeat(offs[:-1], np.diff(offs))).astype(np.int32)
     wids = cache.lookup(all_tokens)
     term = (wids & TERMID_MASK) if term_mask else wids
 

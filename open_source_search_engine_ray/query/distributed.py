@@ -154,7 +154,8 @@ class DistributedSearcher:
     def search(self, query: str, k: int = 10):
         import ray
 
-        pq_ = parse_query(query, self.config.bigram_weight)
+        pq_ = parse_query(query, self.config.bigram_weight,
+                          position_mode=self.config.position_mode)
         phrase_terms = pq_.position_term_ids()
         # fan out ALL term fetches concurrently (Msg2::getLists analogue)
         futures: dict[int, list] = {}

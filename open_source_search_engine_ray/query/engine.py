@@ -222,7 +222,8 @@ class IndexSearcher:
             from ..functions.synonyms import DEFAULT_SYNONYMS
             synonyms = DEFAULT_SYNONYMS
         pq_ = parse_query(query, self.config.bigram_weight,
-                          synonyms=synonyms, lang=lang)
+                          synonyms=synonyms, lang=lang,
+                          position_mode=self.config.position_mode)
         extra: set[int] = set()
         if rerank == "proximity":
             extra = {t.term_id for t in pq_.terms
@@ -261,7 +262,8 @@ class IndexSearcher:
             from ..functions.synonyms import DEFAULT_SYNONYMS
             synonyms = DEFAULT_SYNONYMS
         pq_ = parse_query(query, self.config.bigram_weight,
-                          synonyms=synonyms, lang=lang)
+                          synonyms=synonyms, lang=lang,
+                          position_mode=self.config.position_mode)
         lists = self._lists_for(pq_)
         docs, scores = evaluate(pq_, lists, self.n_docs, self.avgdl,
                                 self.config, offset + k)
@@ -287,7 +289,8 @@ class IndexSearcher:
             from ..functions.synonyms import DEFAULT_SYNONYMS
             synonyms = DEFAULT_SYNONYMS
         pq_ = parse_query(query, self.config.bigram_weight,
-                          synonyms=synonyms, lang=lang)
+                          synonyms=synonyms, lang=lang,
+                          position_mode=self.config.position_mode)
         lists = self._lists_for(pq_)
         docs, scores = evaluate_after(pq_, lists, self.n_docs, self.avgdl,
                                       self.config, k, after=after,
@@ -305,7 +308,8 @@ class IndexSearcher:
         from ..functions.bm25 import idf as bm25_idf
         from .kernel import select_plan
 
-        pq_ = parse_query(query, self.config.bigram_weight)
+        pq_ = parse_query(query, self.config.bigram_weight,
+                          position_mode=self.config.position_mode)
         lists = self._lists_for(pq_)
         terms = []
         for t in pq_.terms:

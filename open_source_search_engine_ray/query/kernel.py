@@ -68,11 +68,14 @@ def _tf_weighted(tp: TermPostings, field: int | None,
     return tp.tfs[:, field].astype(np.float64)
 
 
-def _phrase_docs(chain: list[int], lists: dict[int, TermPostings | None]) -> np.ndarray:
-    """Docs where the phrase terms appear at consecutive positions —
-    fully vectorized: positions of candidate docs are packed into
-    (doc_index << 32 | position) keys and the chain is verified with
-    sorted-set membership, no per-doc loop."""
+def _phrase_docs(chain: list[int], lists: dict[int, TermPostings | None],
+                 offsets: list[int] | None = None) -> np.ndarray:
+    """Docs where the phrase terms appear at the expected relative
+    positions (consecutive ordinals by default; in monotone position mode
+    ``offsets`` carries the query-side cursor positions and the document
+    must reproduce that spacing) — fully vectorized: positions of
+    candidate docs are packed into (doc_index << 32 | position) keys and
+    the chain is verified with sorted-set membership, no per-doc loop."""
     from ..functions.ragged import ragged_arange
 
     tps = [lists.get(t) for t in chain]
@@ -95,7 +98,8 @@ def _phrase_docs(chain: list[int], lists: dict[int, TermPostings | None]) -> np.
         return (drep << np.uint64(32)) | pos
 
     base = keys_for(tps[0])
-    for off, tp in enumerate(tps[1:], start=1):
+    for j, tp in enumerate(tps[1:], start=1):
+        off = (offsets[j] - offsets[0]) if offsets else j
         base = base[in_sorted(base + np.uint64(off), np.sort(keys_for(tp)))]
         if len(base) == 0:
             return np.zeros(0, dtype=np.uint64)
@@ -531,7 +535,8 @@ def _eval_tree(node, lists) -> np.ndarray:
             return tp.doc_ids[tp.tfs[:, node[2]] > 0]
         return tp.doc_ids
     if kind == "phrase":
-        return _phrase_docs(node[1], lists)
+        return _phrase_docs(node[1], lists,
+                            node[2] if len(node) > 2 else None)
     if kind == "or":
         arrs = [_eval_tree(c, lists) for c in node[1]]
         arrs = [a for a in arrs if len(a)]
@@ -611,12 +616,14 @@ def candidate_docs(query: ParsedQuery,
         if len(nd) and len(cand):
             cand = cand[~in_sorted(cand, nd)]
 
-    for chain in query.phrases:
-        pd = _phrase_docs(chain, lists)
+    p_offs = query.phrase_offsets or [None] * len(query.phrases)
+    for chain, po in zip(query.phrases, p_offs):
+        pd = _phrase_docs(chain, lists, po)
         cand = cand[in_sorted(cand, pd)]
 
-    for chain in query.neg_phrases:
-        pd = _phrase_docs(chain, lists)
+    n_offs = query.neg_phrase_offsets or [None] * len(query.neg_phrases)
+    for chain, po in zip(query.neg_phrases, n_offs):
+        pd = _phrase_docs(chain, lists, po)
         if len(pd) and len(cand):
             cand = cand[~in_sorted(cand, pd)]
     return cand

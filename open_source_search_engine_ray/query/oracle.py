@@ -41,7 +41,8 @@ class OracleIndex:
         cache = TokenHashCache()
         rows, terms, pos, is_big = terms_for_texts(
             [t or "" for t in text], cache, index_bigrams=cfg.index_bigrams,
-            fragment_suppress=cfg.fragment_suppress)
+            fragment_suppress=cfg.fragment_suppress,
+            position_mode=cfg.position_mode)
 
         # doc stats (word tokens only)
         field_lens: dict[int, list[int]] = {}
@@ -108,7 +109,8 @@ class OracleIndex:
             from ..functions.synonyms import DEFAULT_SYNONYMS
             synonyms = DEFAULT_SYNONYMS
         pq = parse_query(query, self.config.bigram_weight, synonyms=synonyms,
-                         lang=lang)
+                         lang=lang,
+                         position_mode=self.config.position_mode)
         lists = {t.term_id: self._lists.get(t.term_id) for t in pq.terms}
         cfg = self.config
         if field_weights is not None:
@@ -127,7 +129,8 @@ class OracleIndex:
         """Mirror of IndexSearcher.search_page (same contract, exact path)."""
         from .kernel import candidate_docs
 
-        pq = parse_query(query, self.config.bigram_weight)
+        pq = parse_query(query, self.config.bigram_weight,
+                         position_mode=self.config.position_mode)
         lists = {t.term_id: self._lists.get(t.term_id) for t in pq.terms}
         docs, scores = evaluate(pq, lists, self.n_docs, self.avgdl,
                                 self.config, offset + k, prune=False)
@@ -140,7 +143,8 @@ class OracleIndex:
         """Mirror of IndexSearcher.search_after (same kernel path)."""
         from .kernel import evaluate_after
 
-        pq = parse_query(query, self.config.bigram_weight)
+        pq = parse_query(query, self.config.bigram_weight,
+                         position_mode=self.config.position_mode)
         lists = {t.term_id: self._lists.get(t.term_id) for t in pq.terms}
         docs, scores = evaluate_after(pq, lists, self.n_docs, self.avgdl,
                                       self.config, k, after=after,

@@ -34,7 +34,7 @@ from ..config import FIELD_NAMES
 from ..functions.ghash import (TERMID_MASK, PHRASE_STOPWORD_XOR,
                                hash64_lower_utf8, hash64_lower_utf8_cont)
 from ..functions.stopwords import STOPWORDS, query_stopwords
-from ..functions.tokenizer import tokenize
+from ..functions.tokenizer import tokenize, tokenize_pos
 
 
 @dataclass
@@ -57,6 +57,14 @@ class ParsedQuery:
     # negated quoted phrases (-"foo bar"): docs where the chain matches at
     # consecutive positions are EXCLUDED; chain terms don't score
     neg_phrases: list[list[int]] = field(default_factory=list)
+    # per-chain expected position offsets (parallel to phrases /
+    # neg_phrases).  Ordinal mode: [0,1,2,...] (consecutive tokens);
+    # monotone mode: the getWordPosVec cursor over the quoted text — the
+    # document must reproduce the query's own token spacing
+    # (QueryWord::m_posNum analogue, the duplicated cursor noted at
+    # XmlDoc.cpp:20090-20092)
+    phrase_offsets: list[list[int]] = field(default_factory=list)
+    neg_phrase_offsets: list[list[int]] = field(default_factory=list)
     # boolean OR units (Query.h:149-158 boolean-op analogue): each group is
     # a required disjunction — a candidate doc must match ≥1 alternative
     or_groups: list[list[int]] = field(default_factory=list)
@@ -90,7 +98,7 @@ def _is_query_stop(token: str, stops: frozenset = STOPWORDS) -> bool:
     return t in stops or (len(t) == 1 and t.isalpha())
 
 
-def _parse_boolean_query(q: str) -> ParsedQuery:
+def _parse_boolean_query(q: str, position_mode: str = "ordinal") -> ParsedQuery:
     """Full boolean expression trees for parenthesized queries
     (``Query.h:284,364`` — ``Expression::isTruth`` over nested
     AND/OR/NOT).  Grammar::
@@ -196,7 +204,8 @@ def _parse_boolean_query(q: str) -> ParsedQuery:
                 add_term(tok, tid, negative, field_scope, qid)
                 chain.append(tid)
             if len(chain) >= 2:
-                return ("phrase", chain)
+                return ("phrase", chain,
+                        _phrase_offsets_for(wtoks, text, position_mode))
             return (("term", chain[0], field_scope) if chain
                     else ("and", [], []))
         if kind == "WORD":
@@ -276,19 +285,32 @@ def _parse_boolean_query(q: str) -> ParsedQuery:
     return out
 
 
+def _phrase_offsets_for(toks: list[str], body: str,
+                        position_mode: str) -> list[int]:
+    """Expected in-document position offsets for a quoted chain."""
+    if position_mode == "monotone":
+        _, _, _, mono = tokenize_pos(body)
+        return list(mono)
+    return list(range(len(toks)))
+
+
 def parse_query(q: str, bigram_weight: float = 0.5,
                 synonyms: dict[str, list[str]] | None = None,
                 synonym_weight: float = 0.9,
-                lang: str = "en") -> ParsedQuery:
+                lang: str = "en",
+                position_mode: str = "ordinal") -> ParsedQuery:
     """``synonyms`` (optional): token → alternatives, expanded as optional
     weighted terms for unquoted, unsigned, unfielded words of length > 1 —
     Appendix A class 3 (``Synonyms.cpp:53-140``, ``synonymWeight=0.9``
     default ``Parms.cpp:3879-3886``).  Off by default.
 
+    ``position_mode`` must match the index's ``IndexConfig.position_mode``
+    — it controls the expected spacing of quoted-phrase tokens.
+
     A query containing parentheses routes to the boolean expression-tree
     parser (:func:`_parse_boolean_query`)."""
     if "(" in q:
-        return _parse_boolean_query(q)
+        return _parse_boolean_query(q, position_mode)
     # per-language QUERY stopword set (query_stop_words.<lang>.txt
     # analogue); affects only IGNORE_QSTOP optionality — the bigram rule
     # below keeps the indexing contract's English set
@@ -304,6 +326,7 @@ def parse_query(q: str, bigram_weight: float = 0.5,
     next_group = 0
     join_next = False          # previous chunk was the OR operator
     quote_id = -1
+    quote_offs: dict[int, list[int]] = {}
     while i < n:
         while i < n and q[i].isspace():
             i += 1
@@ -321,6 +344,8 @@ def parse_query(q: str, bigram_weight: float = 0.5,
             quote_id += 1
             body = q[i + 1:j]
             toks, hyph, _ = tokenize(body)
+            quote_offs[quote_id] = _phrase_offsets_for(toks, body,
+                                                       position_mode)
             # a sign before the quote applies to the whole phrase; a
             # single-token negated quote degrades to a plain negative term
             if neg and len(toks) == 1:
@@ -460,8 +485,11 @@ def parse_query(q: str, bigram_weight: float = 0.5,
                        if t.quote_id == qid and not t.is_bigram]
             chain = [t.term_id for t in members]
             if len(chain) >= 2:
+                offs = quote_offs.get(qid, list(range(len(chain))))
                 if members[0].negative:
                     out.neg_phrases.append(chain)
+                    out.neg_phrase_offsets.append(offs)
                 else:
                     out.phrases.append(chain)
+                    out.phrase_offsets.append(offs)
     return out

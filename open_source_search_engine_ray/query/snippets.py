@@ -111,7 +111,8 @@ def export_snippets(index_dir: str, queries: list[tuple[str, str, int]],
     se = IndexSearcher(index_dir)
     qterms = {}
     for qid, q, k in queries:
-        pq_ = parse_query(q, se.config.bigram_weight)
+        pq_ = parse_query(q, se.config.bigram_weight,
+                          position_mode=se.config.position_mode)
         qterms[qid] = {t.term_id for t in pq_.terms if not t.negative}
     qterms_ref = ray.put(qterms)
 
@@ -242,7 +243,8 @@ def search_with_snippets(index_dir: str, query: str, k: int = 10,
     over-fetching ``oversample×k`` candidates so the page refills."""
     se = searcher or IndexSearcher(index_dir)
     docs, scores = se.search(query, k * oversample if dedup else k)
-    pq_ = parse_query(query, se.config.bigram_weight)
+    pq_ = parse_query(query, se.config.bigram_weight,
+                      position_mode=se.config.position_mode)
     qterms = {t.term_id for t in pq_.terms if not t.negative}
     empty = pa.table({
         "rank": pa.array([], pa.int32()),

@@ -163,7 +163,8 @@ class TokenizePostings:
         rows, terms, pos, is_big = terms_for_texts(
             [t or "" for t in texts], self.cache,
             index_bigrams=self.config.index_bigrams,
-            fragment_suppress=self.config.fragment_suppress)
+            fragment_suppress=self.config.fragment_suppress,
+            position_mode=self.config.position_mode)
 
         # per-turn word-token counts → doc-stat partials
         n = len(texts)

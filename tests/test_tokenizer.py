@@ -10,7 +10,8 @@ from hypothesis import given, settings, strategies as st
 from open_source_search_engine_ray.functions.ghash import (
     PHRASE_STOPWORD_XOR, TERMID_MASK, hash64_lower_utf8)
 from open_source_search_engine_ray.functions.tokenizer import (
-    TokenHashCache, _scan_unicode, terms_for_texts, tokenize, tokenize_simple)
+    TokenHashCache, _scan_unicode, terms_for_texts, tokenize,
+    tokenize_pos, tokenize_simple)
 
 
 def toks(s):
@@ -53,7 +54,7 @@ def test_hyphen_flags():
 @given(st.text(alphabet=string.ascii_letters + string.digits +
                " .,'-+#!?:;()\"/@", max_size=80))
 def test_ascii_regex_equals_scanner(s):
-    assert tokenize(s) == _scan_unicode(s)
+    assert tokenize_pos(s) == _scan_unicode(s)
 
 
 def test_bigram_ids():
