@@ -197,7 +197,8 @@ class IndexSearcher:
                synonyms: dict[str, list[str]] | None = None,
                field_weights: tuple | None = None,
                lang: str = "en", rerank: str | None = None,
-               oversample: int = 4):
+               oversample: int = 4,
+               wiki_bigrams: frozenset | None = None):
         """→ (doc_ids, scores) exact BM25F top-k.
 
         ``rerank="proximity"`` applies the term-pair min-distance boost
@@ -215,15 +216,24 @@ class IndexSearcher:
 
         ``synonyms`` is a token→alternatives dict, or the string
         ``"default"`` for the shipped number-variant + curated-set +
-        word-variation table (functions/synonyms.py)."""
+        word-variation table (functions/synonyms.py).
+
+        ``wiki_bigrams`` is a phrase dictionary (or ``"default"`` for the
+        shipped curated set): bigram boost terms whose pair is in the
+        dictionary get the ``WIKI_BIGRAM_WEIGHT²`` boost
+        (functions/wiki_phrases.py; ``PosdbTable.cpp:436``)."""
         from dataclasses import replace
 
         if synonyms == "default":
             from ..functions.synonyms import DEFAULT_SYNONYMS
             synonyms = DEFAULT_SYNONYMS
+        if wiki_bigrams == "default":
+            from ..functions.wiki_phrases import DEFAULT_WIKI_BIGRAMS
+            wiki_bigrams = DEFAULT_WIKI_BIGRAMS
         pq_ = parse_query(query, self.config.bigram_weight,
                           synonyms=synonyms, lang=lang,
-                          position_mode=self.config.position_mode)
+                          position_mode=self.config.position_mode,
+                          wiki_bigrams=wiki_bigrams)
         extra: set[int] = set()
         if rerank == "proximity":
             extra = {t.term_id for t in pq_.terms

@@ -102,15 +102,20 @@ class OracleIndex:
                synonyms: dict[str, list[str]] | None = None,
                field_weights: tuple | None = None,
                lang: str = "en", rerank: str | None = None,
-               oversample: int = 4):
+               oversample: int = 4,
+               wiki_bigrams: frozenset | None = None):
         from dataclasses import replace
 
         if synonyms == "default":
             from ..functions.synonyms import DEFAULT_SYNONYMS
             synonyms = DEFAULT_SYNONYMS
+        if wiki_bigrams == "default":
+            from ..functions.wiki_phrases import DEFAULT_WIKI_BIGRAMS
+            wiki_bigrams = DEFAULT_WIKI_BIGRAMS
         pq = parse_query(query, self.config.bigram_weight, synonyms=synonyms,
                          lang=lang,
-                         position_mode=self.config.position_mode)
+                         position_mode=self.config.position_mode,
+                         wiki_bigrams=wiki_bigrams)
         lists = {t.term_id: self._lists.get(t.term_id) for t in pq.terms}
         cfg = self.config
         if field_weights is not None:

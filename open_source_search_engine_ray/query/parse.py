@@ -298,11 +298,20 @@ def parse_query(q: str, bigram_weight: float = 0.5,
                 synonyms: dict[str, list[str]] | None = None,
                 synonym_weight: float = 0.9,
                 lang: str = "en",
-                position_mode: str = "ordinal") -> ParsedQuery:
+                position_mode: str = "ordinal",
+                wiki_bigrams: frozenset | None = None,
+                wiki_bigram_boost: float = 1.96) -> ParsedQuery:
     """``synonyms`` (optional): token → alternatives, expanded as optional
     weighted terms for unquoted, unsigned, unfielded words of length > 1 —
     Appendix A class 3 (``Synonyms.cpp:53-140``, ``synonymWeight=0.9``
     default ``Parms.cpp:3879-3886``).  Off by default.
+
+    ``wiki_bigrams`` (optional): a phrase dictionary (lowercase
+    ``"word word"`` entries).  A generated bigram boost term whose token
+    pair is in the dictionary is weighted
+    ``bigram_weight * wiki_bigram_boost`` — the ``WIKI_BIGRAM_WEIGHT²``
+    rule (1.4², ``PosdbTable.h:22``, ``PosdbTable.cpp:436``); see
+    functions/wiki_phrases.py.
 
     ``position_mode`` must match the index's ``IndexConfig.position_mode``
     — it controls the expected spacing of quoted-phrase tokens.
@@ -473,8 +482,11 @@ def parse_query(q: str, bigram_weight: float = 0.5,
         if tid in seen_bigrams:
             continue
         seen_bigrams.add(tid)
+        bw = bigram_weight
+        if wiki_bigrams and f"{tok1.lower()} {tok2.lower()}" in wiki_bigrams:
+            bw = bigram_weight * wiki_bigram_boost
         out.terms.append(QTerm(f"{tok1} {tok2}", tid, False, False, True,
-                               fs1, bigram_weight, qid1))
+                               fs1, bw, qid1))
 
     # quoted phrase chains for the positional adjacency filter (a quote's
     # tokens are uniformly positive or negative; negated chains go to
