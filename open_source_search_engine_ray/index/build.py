@@ -568,14 +568,27 @@ def _build_fused_spill(transcripts_ds_factory, out_dir: str,
 def build_index(transcripts_ds_factory, out_dir: str,
                 config: IndexConfig | None = None, *,
                 input_token: str, resume: bool = False,
-                write_docstore: bool = True) -> dict:
+                write_docstore: bool = True, hooks=None) -> dict:
     """Build the inverted index.  ``transcripts_ds_factory`` is a zero-arg
     callable returning a fresh Dataset over the input (the build reads the
     input twice: doc-stats pass and postings pass; a Dataset cannot be
-    consumed twice without re-planning)."""
+    consumed twice without re-planning).
+
+    ``hooks`` (optional ``functions.hooks.IndexHooks``): user callouts —
+    the ``WantedChecker`` plugin-API analogue (``WantedCheckerApi.h``,
+    ``Msg13.cpp:1168``) — applied at the input factory so every pass
+    (doc stats, postings, doc store, hot-term sample) sees the same
+    filtered/transformed corpus.  ``hooks.token()`` joins the resume
+    fingerprint: bump the version to invalidate prior build state."""
     import ray
 
+    from ..functions.hooks import hooked_factory
+
     config = config or IndexConfig()
+    if hooks is not None:
+        input_token = f"{input_token}|hooks:{hooks.token()}"
+        transcripts_ds_factory = hooked_factory(transcripts_ds_factory,
+                                                hooks)
     if config.salt_all_terms and config.build_strategy != "spill":
         # the groupby strategy attaches dl via broadcast and samples hot
         # terms — neither belongs in doc-partitioned mode, and a mixed

@@ -22,9 +22,13 @@ from .parse import parse_query
 
 
 class OracleIndex:
-    def __init__(self, transcripts: pa.Table, config: IndexConfig | None = None):
+    def __init__(self, transcripts: pa.Table, config: IndexConfig | None = None,
+                 hooks=None):
         self.config = config or IndexConfig()
         cfg = self.config
+        if hooks is not None:
+            from ..functions.hooks import apply_hooks_batch
+            transcripts = apply_hooks_batch(transcripts, hooks)
         wq = [int(round(w * 4)) for w in cfg.field_weights]
 
         conv = transcripts["conv_id"].to_pylist()
