@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_per_brand": relational.top_parts_per_brand,
         "events_hourly_window": relational.events_hourly_window,
         "events_sessionize": relational.events_sessionize,
+        "events_asof_join": relational.events_asof_join,
     }
 
 
@@ -109,4 +110,5 @@ def oracle_sql() -> dict[str, str]:
         "top_parts_per_brand": relational.top_parts_per_brand_sql(),
         "events_hourly_window": relational.events_hourly_window_sql(),
         "events_sessionize": relational.events_sessionize_sql(),
+        "events_asof_join": relational.events_asof_join_sql(),
     }

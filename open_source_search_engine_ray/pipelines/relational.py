@@ -410,3 +410,81 @@ per_session AS (
 SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events
 FROM per_session GROUP BY user_id ORDER BY user_id
 """
+
+
+def events_asof_join(sf_dir: str):
+    """As-of join (the time-series point-in-time lookup operator Ray Data
+    has no primitive for): each *click* event is joined to the most recent
+    *view* event of the SAME user at-or-before its timestamp.
+
+    Ray-Data-first composition: one column-pruned read, a map-side filter
+    to the two tagged streams, ONE hash shuffle on the join key
+    (``groupby(user_id)``), and a vectorized per-group kernel — both sides
+    sorted by time once, then a single ``np.searchsorted`` resolves every
+    click's predecessor view.  Partitioning assumption (documented per the
+    operator contract): one user's events fit in a worker — the same
+    per-key-bounded assumption as ``events_sessionize``; a hot key would be
+    salted by time range with boundary handoff of the last pre-boundary
+    view row.
+
+    Output per click event: event_id, user_id, ts_us, click_value,
+    view_value (null when the user has no prior view), lag_us.
+    """
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array(["click", "view"])))
+        ts_us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "is_click": pc.equal(b["event_type"], pa.scalar("click")),
+            "value": b["value"],
+        })
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts_us"].to_numpy()
+        is_click = g["is_click"].to_numpy(dtype=bool)
+        val = g["value"].to_numpy()
+        vorder = np.argsort(ts[~is_click], kind="stable")
+        vts = ts[~is_click][vorder]
+        vval = val[~is_click][vorder]
+        cts = ts[is_click]
+        idx = np.searchsorted(vts, cts, side="right") - 1
+        ok = idx >= 0
+        view_value = np.where(ok, vval[np.clip(idx, 0, None)], np.nan)
+        lag = np.where(ok, cts - vts[np.clip(idx, 0, None)], 0)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[is_click],
+            "user_id": np.repeat(int(g["user_id"].iloc[0]),
+                                 int(is_click.sum())),
+            "ts_us": cts,
+            "click_value": val[is_click],
+            "view_value": view_value,
+            # no-match sentinel -1 (COALESCE'd identically in the SQL
+            # oracle) keeps the column non-null int64 — type-stable for
+            # the driver's value-hash compare
+            "lag_us": np.where(ok, lag, -1).astype(np.int64),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("user_id").map_groups(asof, batch_format="pandas"))
+
+
+def events_asof_join_sql() -> str:
+    return """
+WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click'),
+     views  AS (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'view')
+SELECT c.event_id AS event_id, c.user_id AS user_id,
+       epoch_us(c.ts) AS ts_us, c.value AS click_value,
+       v.value AS view_value,
+       COALESCE(date_diff('microsecond', v.ts, c.ts), -1) AS lag_us
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+ORDER BY event_id
+"""
