@@ -25,6 +25,7 @@ from open_source_search_engine_ray.pipelines import (
     engine_docs,
     multimodal,
     relational,
+    sampling,
     similarity,
     text_analysis,
     transcripts_flagship,
@@ -84,6 +85,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": relational.events_hourly_window,
         "events_sessionize": relational.events_sessionize,
         "events_asof_join": relational.events_asof_join,
+        "events_window_join": relational.events_window_join,
+        # training-data curation
+        "stratified_sample": sampling.stratified_sample,
+        "embedding_kmeans": similarity.embedding_kmeans,
     }
 
 
@@ -111,4 +116,6 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_window": relational.events_hourly_window_sql(),
         "events_sessionize": relational.events_sessionize_sql(),
         "events_asof_join": relational.events_asof_join_sql(),
+        "events_window_join": relational.events_window_join_sql(),
+        "stratified_sample": sampling.stratified_sample_sql(),
     }

@@ -488,3 +488,76 @@ FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND v.ts <= c.ts
 ORDER BY event_id
 """
+
+
+WINDOW_JOIN_US = 10 * 60 * 1_000_000  # 10-minute look-back band
+
+
+def events_window_join(sf_dir: str):
+    """Time-band (range) join: for each *click*, the count and exact-cents
+    sum of the same user's *view* events in the preceding 10 minutes
+    (``c.ts - 10min < v.ts <= c.ts``).
+
+    Ray-Data-first: same single ``groupby(user_id)`` shuffle as
+    ``events_asof_join``; the per-group kernel is two ``np.searchsorted``
+    calls against the time-sorted view stream plus a prefix-sum — every
+    click's band resolves in O(log n) with zero pair materialization (a
+    naive range join would explode to |clicks|x|views| per user).  Same
+    per-key-bounded partitioning assumption as ``events_sessionize``.
+    """
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array(["click", "view"])))
+        ts_us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "is_click": pc.equal(b["event_type"], pa.scalar("click")),
+            # exact integer cents so the sum is order-independent
+            "cents": pa.array(np.rint(b["value"].to_numpy() * 100.0)
+                              .astype(np.int64)),
+        })
+
+    def band(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts_us"].to_numpy()
+        is_click = g["is_click"].to_numpy(dtype=bool)
+        cents = g["cents"].to_numpy()
+        vorder = np.argsort(ts[~is_click], kind="stable")
+        vts = ts[~is_click][vorder]
+        vprefix = np.concatenate(
+            [[0], np.cumsum(cents[~is_click][vorder])])
+        cts = ts[is_click]
+        lo = np.searchsorted(vts, cts - WINDOW_JOIN_US, side="right")
+        hi = np.searchsorted(vts, cts, side="right")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[is_click],
+            "user_id": np.repeat(int(g["user_id"].iloc[0]),
+                                 int(is_click.sum())),
+            "n_views_10m": (hi - lo).astype(np.int64),
+            "view_cents_10m": (vprefix[hi] - vprefix[lo]).astype(np.int64),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("user_id").map_groups(band, batch_format="pandas"))
+
+
+def events_window_join_sql() -> str:
+    return """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+     views  AS (SELECT user_id, ts,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'view')
+SELECT c.event_id AS event_id, c.user_id AS user_id,
+       count(v.ts) AS n_views_10m,
+       COALESCE(sum(v.cents), 0) AS view_cents_10m
+FROM clicks c LEFT JOIN views v
+  ON v.user_id = c.user_id
+ AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 10 MINUTE
+GROUP BY c.event_id, c.user_id
+ORDER BY event_id
+"""

@@ -415,3 +415,33 @@ def lsh_cosine_topk(sf_dir: str):
 
     return scored.groupby("query_vec_id").map_groups(topk,
                                                      batch_format="pandas")
+
+
+def embedding_kmeans(sf_dir: str):
+    """→ (vec_id, cluster_id, sim): corpus clustering for data-mixing /
+    curriculum bucketing — every vector assigned to its nearest spherical
+    k-means centroid (cosine), with the similarity kept for downstream
+    filtering (e.g. drop far-from-centroid outliers).
+
+    Scale shape: centroids train on a bounded spread sample (the IVF
+    trainer — fixed cost at any corpus size), then broadcast once via
+    ``ray.put``; assignment is one matmul per streamed batch, no shuffle
+    at all.  Deterministic (seeded trainer), rows-only driver check;
+    anchored in tests by the nearest-centroid invariant per row.
+    """
+    import ray
+
+    cents_ref = ray.put(_train_ivf_centroids(sf_dir))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        ids, x = _norm_rows(batch)
+        sims = x @ cents.T
+        best = np.argmax(sims, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "cluster_id": pa.array(best.astype(np.int64)),
+            "sim": pa.array(sims[np.arange(len(best)), best]),
+        })
+
+    return _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow")

@@ -94,6 +94,28 @@ def test_embedding_neardup_lsh_anchor(entrymod):
         assert abs(exm[(int(a), int(b))] - s) < 1e-9
 
 
+def test_embedding_kmeans_anchor(entrymod):
+    """Rows-only entry anchored by its defining invariant: every vector is
+    assigned to the centroid it is most cosine-similar to, the reported
+    sim equals that similarity, and every corpus vector appears once."""
+    import pyarrow.parquet as pq
+
+    from open_source_search_engine_ray.pipelines import similarity
+
+    out = similarity.embedding_kmeans(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    assert len(out) == emb.num_rows
+    assert out["vec_id"].is_unique
+    cents = similarity._train_ivf_centroids(SF)
+    ids, x = similarity._norm_rows(emb)
+    sims = x @ cents.T
+    best = dict(zip(ids.astype(int), np.argmax(sims, axis=1)))
+    bsim = dict(zip(ids.astype(int), np.max(sims, axis=1)))
+    for vid, cid, s in zip(out["vec_id"], out["cluster_id"], out["sim"]):
+        assert int(cid) == int(best[int(vid)])
+        assert abs(s - bsim[int(vid)]) < 1e-9
+
+
 def test_jaccard_hot_shingle_corpus(ray_session, tmp_path):
     """Exactness under an injected hot shingle: hundreds of docs share a
     boilerplate prefix (a pathological skew key for the round-1
