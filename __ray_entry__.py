@@ -86,8 +86,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": relational.events_sessionize,
         "events_asof_join": relational.events_asof_join,
         "events_window_join": relational.events_window_join,
+        "events_hopping_window": relational.events_hopping_window,
+        "events_value_quantiles": relational.events_value_quantiles,
+        "order_priority_revenue": relational.order_priority_revenue,
         # training-data curation
         "stratified_sample": sampling.stratified_sample,
+        "sample_k_per_group": sampling.sample_k_per_group,
         "embedding_kmeans": similarity.embedding_kmeans,
     }
 
@@ -117,5 +121,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": relational.events_sessionize_sql(),
         "events_asof_join": relational.events_asof_join_sql(),
         "events_window_join": relational.events_window_join_sql(),
+        "events_hopping_window": relational.events_hopping_window_sql(),
+        "events_value_quantiles": relational.events_value_quantiles_sql(),
+        "order_priority_revenue": relational.order_priority_revenue_sql(),
         "stratified_sample": sampling.stratified_sample_sql(),
+        "sample_k_per_group": sampling.sample_k_per_group_sql(),
     }

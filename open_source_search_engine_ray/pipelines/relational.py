@@ -561,3 +561,237 @@ FROM clicks c LEFT JOIN views v
 GROUP BY c.event_id, c.user_id
 ORDER BY event_id
 """
+
+
+HOP_SEC = 900            # 15-minute hop
+HOP_WIDTH_HOPS = 4       # 1-hour window = 4 hops
+
+
+def events_hopping_window(sf_dir: str):
+    """Hopping (sliding) 1-hour windows advancing every 15 minutes, per
+    event_type: → (window_start, event_type, n_events, sum_value).
+
+    The streaming-window shape the tumbling ``events_hourly_window``
+    can't express: each event belongs to ``width/hop`` = 4 overlapping
+    windows.  The fan-out is map-side (a 4x ``np.repeat`` tile inside
+    the batch — no extra pass over storage, no per-row loop), and the
+    only shuffle is the same small keyed aggregate as the tumbling case;
+    window cardinality is O(time-range / hop), independent of row count.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    k = np.arange(HOP_WIDTH_HOPS, dtype=np.int64)
+
+    def fanout(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = (ts_us // (HOP_SEC * 1_000_000)) * HOP_SEC  # epoch sec, hop floor
+        cents = np.rint(b["value"].to_numpy() * 100.0).astype(np.int64)
+        n = len(base)
+        win = np.repeat(base, HOP_WIDTH_HOPS) - np.tile(k * HOP_SEC, n)
+        return pa.table({
+            "window_start": pa.array(win, pa.int64()),
+            "event_type": pa.array(
+                np.repeat(b["event_type"].to_numpy(zero_copy_only=False),
+                          HOP_WIDTH_HOPS)),
+            "value_cents": pa.array(np.repeat(cents, HOP_WIDTH_HOPS)),
+        })
+
+    agg = (ds.map_batches(fanout, batch_format="pyarrow")
+           .groupby(["window_start", "event_type"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value_cents", alias_name="sum_cents")))
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": b["window_start"],
+            "event_type": b["event_type"],
+            "n_events": b["n_events"],
+            "sum_value": pc.divide(
+                pc.cast(b["sum_cents"], pa.float64()), pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def events_hopping_window_sql() -> str:
+    hops = ", ".join(str(i) for i in range(HOP_WIDTH_HOPS))
+    return f"""
+SELECT (epoch_us(ts) // {HOP_SEC * 1_000_000}) * {HOP_SEC}
+         - k.k * {HOP_SEC} AS window_start,
+       event_type,
+       count(*) AS n_events,
+       sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
+FROM events CROSS JOIN (SELECT UNNEST([{hops}]) AS k) k
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+JOIN_BUCKETS = 64
+
+
+def order_priority_revenue(sf_dir: str):
+    """Large-large equi-join (orders ⋈ lineitem on orderkey) → per
+    o_orderpriority (n_orders with ≥1 lineitem, revenue = Σ price·(1-disc)).
+
+    Neither side is broadcastable at scale (both grow with SF), so this is
+    the partitioned hash join: lineitem revenue is pre-combined per
+    orderkey *inside* ``map_batches`` (the map-side combiner — shrinks the
+    shuffled lineitem rows to ≤ one per (batch, orderkey)), both sides are
+    tagged into ``orderkey % JOIN_BUCKETS`` buckets, and one
+    ``groupby(bucket)`` co-locates each key's rows; the per-bucket kernel
+    is a vectorized sorted-key ``searchsorted`` probe, not a Python dict.
+    Bucket count scales with cluster size; keys are uniform (orderkey is a
+    sequence), so no salt is needed.  Final priority rollup is a
+    five-group aggregate.  Exact integer 10^-4 units end-to-end.
+    """
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        key = b["o_orderkey"].to_numpy()
+        return pa.table({
+            "bucket": pa.array(key % JOIN_BUCKETS),
+            "orderkey": pa.array(key),
+            "priority": b["o_orderpriority"],
+            "rev_e4": pa.array(np.full(len(key), -1, dtype=np.int64)),
+        })
+
+    def combine_lineitem(b: pa.Table) -> pa.Table:
+        key = b["l_orderkey"].to_numpy()
+        price_c = np.rint(b["l_extendedprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        keep_c = np.rint((1.0 - b["l_discount"].to_numpy()) * 100.0) \
+            .astype(np.int64)
+        rev = price_c * keep_c
+        # map-side combine: one row per orderkey per batch
+        order = np.argsort(key, kind="stable")
+        ks, starts = np.unique(key[order], return_index=True)
+        sums = np.add.reduceat(rev[order], starts)
+        return pa.table({
+            "bucket": pa.array(ks % JOIN_BUCKETS),
+            "orderkey": pa.array(ks),
+            "priority": pa.array([None] * len(ks), pa.string()),
+            "rev_e4": pa.array(sums),
+        })
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        lineitem.map_batches(combine_lineitem, batch_format="pyarrow"))
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        is_order = g["rev_e4"].to_numpy() < 0
+        okeys = g["orderkey"].to_numpy()[is_order]
+        oprio = g["priority"].to_numpy()[is_order]
+        oorder = np.argsort(okeys, kind="stable")
+        okeys, oprio = okeys[oorder], oprio[oorder]
+        lkeys = g["orderkey"].to_numpy()[~is_order]
+        lrev = g["rev_e4"].to_numpy()[~is_order]
+        idx = np.searchsorted(okeys, lkeys)
+        hit = (idx < len(okeys))
+        idx = np.minimum(idx, len(okeys) - 1)
+        hit &= okeys[idx] == lkeys
+        if not hit.any():
+            return pd.DataFrame({
+                "priority": np.array([], dtype=object),
+                "n_orders_part": np.array([], dtype=np.int64),
+                "rev_e4_part": np.array([], dtype=np.int64)})
+        # revenue per priority: reduceat over priority-sorted matches
+        prio = oprio[idx[hit]]
+        porder = np.argsort(prio, kind="stable")
+        ps, starts = np.unique(prio[porder], return_index=True)
+        rev_sums = np.add.reduceat(lrev[hit][porder], starts)
+        # distinct matched orders per priority (every orderkey lives in
+        # exactly one bucket, so bucket partials sum to the global count)
+        uniq_orders = np.unique(idx[hit])
+        ops, ocounts = np.unique(oprio[uniq_orders], return_counts=True)
+        n_orders = np.zeros(len(ps), dtype=np.int64)
+        n_orders[np.searchsorted(ps, ops)] = ocounts
+        return pd.DataFrame({
+            "priority": ps,
+            "n_orders_part": n_orders,
+            "rev_e4_part": rev_sums,
+        })
+
+    joined = tagged.groupby("bucket").map_groups(
+        bucket_join, batch_format="pandas")
+
+    agg = joined.groupby("priority").aggregate(
+        Sum("n_orders_part", alias_name="n_orders"),
+        Sum("rev_e4_part", alias_name="rev_e4"))
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b["priority"],
+            "n_orders": b["n_orders"],
+            "revenue": pc.divide(pc.cast(b["rev_e4"], pa.float64()),
+                                 pa.scalar(10_000.0)),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def order_priority_revenue_sql() -> str:
+    return """
+SELECT o.o_orderpriority AS o_orderpriority,
+       count(DISTINCT o.o_orderkey) AS n_orders,
+       sum(round(l.l_extendedprice * 100)::BIGINT
+           * round((1 - l.l_discount) * 100)::BIGINT) / 10000.0 AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def events_value_quantiles(sf_dir: str):
+    """Exact discrete quantiles of events.value → (quantile, value).
+
+    The scale shape for exact quantiles over a bounded-resolution domain:
+    no global sort.  Values are 2-decimal money, so the full distribution
+    compresses to a (cents, count) histogram whose cardinality is bounded
+    by the value range — one small ``groupby`` shuffle regardless of row
+    count; the quantile lookup is a cumsum over the tiny histogram (a
+    driver-side computation over O(distinct-values) rows, not O(rows)).
+    For unbounded domains the same pipeline applies after a map-side
+    fixed-grid quantization pass (t-digest-style, bounded error).
+    """
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({"c": pa.array(
+            np.rint(b["value"].to_numpy() * 100.0).astype(np.int64))})
+
+    hist = (ds.map_batches(cents, batch_format="pyarrow")
+            .groupby("c").aggregate(Count(alias_name="n"))
+            .to_pandas())
+    hist = hist.sort_values("c").reset_index(drop=True)
+    cum = hist["n"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in QUANTILES:
+        rank = max(1, int(np.ceil(q * n)))          # 1-based discrete rank
+        i = int(np.searchsorted(cum, rank))
+        out_q.append(q)
+        out_v.append(int(hist["c"].iloc[i]) / 100.0)
+    return pd.DataFrame({"quantile": out_q, "value": out_v})
+
+
+def events_value_quantiles_sql() -> str:
+    qs = ", ".join(str(q) for q in QUANTILES)
+    return f"""
+WITH s AS (SELECT round(value * 100)::BIGINT AS c FROM events),
+ordered AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+                   count(*) OVER () AS n FROM s),
+quantiles AS (SELECT UNNEST([{qs}]) AS q)
+SELECT q.q AS quantile, o.c / 100.0 AS value
+FROM quantiles q
+JOIN ordered o ON o.rn = GREATEST(1, CAST(ceil(q.q * o.n) AS BIGINT))
+ORDER BY 1
+"""

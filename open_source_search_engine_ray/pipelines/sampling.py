@@ -69,3 +69,54 @@ WHERE (doc_id * {KNUTH}) % {MOD} <
       CASE lang {cases} ELSE {int(DEFAULT_RATE * MOD)} END
 ORDER BY doc_id
 """
+
+
+K_PER_GROUP = 3
+
+
+def sample_k_per_group(sf_dir: str):
+    """→ (lang, doc_id): a deterministic uniform-without-replacement
+    sample of exactly ``min(K, |group|)`` documents per language — the
+    per-stratum fixed-quota companion to ``stratified_sample``'s
+    rate-based thinning.
+
+    Order within a group is by ``(knuth_hash(doc_id), doc_id)`` — a
+    reproducible shuffle, so the "first K" is a uniform draw that any
+    re-run (or any cluster size) reproduces.  Scale shape: a map-side
+    per-batch top-K partial (each batch keeps ≤K rows per group — the
+    combiner), then one tiny ``groupby(lang)`` merge over ≤K×batches
+    rows; the full corpus never shuffles.
+    """
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy()
+        h = (doc_id.astype(np.int64) * KNUTH) % MOD
+        df = pd.DataFrame({
+            "lang": b["lang"].to_numpy(zero_copy_only=False),
+            "doc_id": doc_id, "h": h})
+        df = df.sort_values(["lang", "h", "doc_id"], kind="stable")
+        df = df.groupby("lang", sort=False).head(K_PER_GROUP)
+        return pa.table({
+            "lang": pa.array(df["lang"], pa.string()),
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "h": pa.array(df["h"].to_numpy(), pa.int64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="stable").head(K_PER_GROUP)
+        return g[["lang", "doc_id"]]
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").map_groups(merge, batch_format="pandas"))
+
+
+def sample_k_per_group_sql() -> str:
+    return f"""
+SELECT lang, doc_id FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang
+    ORDER BY (doc_id * {KNUTH}) % {MOD}, doc_id) <= {K_PER_GROUP}
+ORDER BY lang, doc_id
+"""
