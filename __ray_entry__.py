@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text_analysis.quality_score,
         "lang_id": text_analysis.lang_id,
         "fingerprint_docs": text_analysis.fingerprint_docs,
+        "top_terms": text_analysis.top_terms,
         # multimodal plumbing (decode stubbed, see module docstring)
         "multimodal_features": multimodal.multimodal_features,
         # relational / streaming
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": text_analysis.bpe_token_count_sql(),
         "quality_score": text_analysis.quality_score_sql(),
         "lang_id": text_analysis.lang_id_sql(),
+        "top_terms": text_analysis.top_terms_sql(),
         "lineitem_pricing_summary":
             relational.lineitem_pricing_summary_sql(),
         "orders_by_nation": relational.orders_by_nation_sql(),

@@ -105,12 +105,17 @@ def run_headline(sf_dir: str, num_cpus: int, full: bool = True,
 
     if full:
         from open_source_search_engine_ray.pipelines import (
-            dedup, doc_search, relational, similarity)
+            dedup, doc_search, relational, sampling, similarity,
+            text_analysis)
         for name, fn in [
             ("bm25_topk_docs", doc_search.bm25_topk_docs),
             ("exact_dedup", dedup.exact_dedup),
             ("cosine_topk", similarity.cosine_topk),
             ("events_hourly_window", relational.events_hourly_window),
+            ("events_hopping_window", relational.events_hopping_window),
+            ("order_priority_revenue", relational.order_priority_revenue),
+            ("stratified_sample", sampling.stratified_sample),
+            ("top_terms", text_analysis.top_terms),
         ]:
             t0 = time.time()
             res = fn(sf_dir)

@@ -271,3 +271,86 @@ def fingerprint_docs(sf_dir: str):
                          "min_fp": pa.array(min_fps, pa.int64())})
 
     return _read_docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+TOP_TERMS_K = 20
+MG_CAPACITY = 8192          # Misra-Gries counters per batch summary
+
+
+def top_terms(sf_dir: str):
+    """→ the exact top-K corpus terms by total occurrence count
+    (term, n), ties broken by term — found with a mergeable Misra-Gries
+    (SpaceSaving) sketch plus an exact verification pass.
+
+    Scale shape (the reason this isn't just ``groupby(term).sum()``): a
+    full term-count groupby shuffles every distinct term.  Here each batch
+    emits an MG summary truncated to C=MG_CAPACITY counters (any term with true
+    count > N/C is guaranteed to survive truncation — Misra & Gries
+    1982; summaries merge by summation, Agarwal et al. 2012), so the
+    shuffle is O(C x batches) rows regardless of vocabulary size.  The
+    candidate top-(4K) set is then broadcast and re-counted *exactly* in a
+    second streaming pass, so the output is exact, not approximate —
+    the sketch only prunes the shuffle.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            for t in tokenize_simple(text or ""):
+                counts[t] = counts.get(t, 0) + 1
+        if len(counts) > MG_CAPACITY:
+            vals = np.sort(np.fromiter(counts.values(), dtype=np.int64))
+            thresh = vals[len(vals) - MG_CAPACITY - 1]  # (C+1)-th largest
+            counts = {t: c - thresh for t, c in counts.items()
+                      if c > thresh}
+        return pa.table({
+            "term": pa.array(list(counts.keys()), pa.string()),
+            "n_lb": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    cand = (_read_docs(sf_dir).map_batches(mg_partial,
+                                           batch_format="pyarrow")
+            .groupby("term").aggregate(Sum("n_lb", alias_name="n_lb"))
+            .to_pandas()
+            .nlargest(TOP_TERMS_K * 4, "n_lb"))
+    cand_sorted = np.sort(cand["term"].to_numpy().astype(object))
+    ref = ray.put(cand_sorted)
+
+    def exact_count(batch: pa.Table) -> pa.Table:
+        cs = ray.get(ref)
+        counts = np.zeros(len(cs), dtype=np.int64)
+        for text in batch["text"].to_pylist():
+            toks = np.asarray(tokenize_simple(text or ""), dtype=object)
+            if len(toks) == 0:
+                continue
+            idx = np.searchsorted(cs, toks)
+            ok = (idx < len(cs))
+            idx[~ok] = 0
+            ok &= cs[idx] == toks
+            np.add.at(counts, idx[ok], 1)
+        return pa.table({"term": pa.array(cs, pa.string()),
+                         "n_part": pa.array(counts, pa.int64())})
+
+    exact = (_read_docs(sf_dir).map_batches(exact_count,
+                                            batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("n_part", alias_name="n"))
+             .to_pandas())
+    exact = exact.sort_values(["n", "term"], ascending=[False, True],
+                              kind="stable").head(TOP_TERMS_K)
+    return pd.DataFrame({"term": exact["term"].to_numpy(),
+                         "n": exact["n"].to_numpy().astype(np.int64)})
+
+
+def top_terms_sql() -> str:
+    return f"""
+SELECT t.term AS term, count(*) AS n
+FROM documents,
+     UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+WHERE t.term <> ''
+GROUP BY t.term
+ORDER BY n DESC, term
+LIMIT {TOP_TERMS_K}
+"""
