@@ -20,6 +20,7 @@ from collections.abc import Callable
 from typing import Any
 
 from open_source_search_engine_ray.pipelines import (
+    curation,
     dedup,
     doc_search,
     engine_docs,
@@ -93,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data curation
         "stratified_sample": sampling.stratified_sample,
         "sample_k_per_group": sampling.sample_k_per_group,
+        "curate_corpus": curation.curate_corpus,
+        "curation_report": curation.curation_report,
         "embedding_kmeans": similarity.embedding_kmeans,
     }
 
@@ -128,4 +131,6 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_revenue": relational.order_priority_revenue_sql(),
         "stratified_sample": sampling.stratified_sample_sql(),
         "sample_k_per_group": sampling.sample_k_per_group_sql(),
+        "curate_corpus": curation.curate_corpus_sql(),
+        "curation_report": curation.curation_report_sql(),
     }

@@ -1,0 +1,212 @@
+"""End-to-end corpus curation: the composed training-data pipeline a
+100-TB pretraining corpus actually runs — quality gate → deterministic
+stratified downsample → exact dedup → near-dup removal — in ONE streaming
+dataflow with a full DuckDB oracle.
+
+This is the composition proof for the operator family: every stage is one
+of the repo's tested primitives (``text_analysis.quality_score`` math,
+``sampling.stratified_sample`` hash thinning, ``dedup.exact_dedup``
+min-per-md5, ``dedup.dedup_clusters`` components), chained the way a real
+curation job chains them.  The reference's analogous composition is its
+DocProcess rebuild chain (``DocProcess.cpp`` — a doc either survives every
+gate or is dropped); here each gate is a Ray Data stage.
+
+Scale shape per stage (in pipeline order):
+- quality + sample gates: pure map-side predicates — applied FIRST so the
+  expensive shuffles below only see survivors.
+- exact dedup: one ``groupby(md5)`` shuffle of (hash, id, attrs) rows;
+  keep = min doc_id of each group *within the survivor set* (the SQL
+  mirrors this scoping).
+- near-dup removal: non-representatives (cluster member ≠ cluster min)
+  from the full-corpus component labeling, removed via Ray's hash
+  ``left_anti`` join — the non-rep side is |near-dup docs|, never the
+  corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.stopwords import STOPWORDS
+from ..functions.tokenizer import tokenize_simple
+from .dedup import dedup_clusters, dedup_clusters_sql
+from .sampling import DEFAULT_RATE, KNUTH, MOD, STRATA_RATES
+from .text_analysis import quality_score_sql
+
+QUALITY_MIN = 0.93
+MD5_BUCKETS = 256
+
+
+def _read_docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "text"])
+
+
+def curate_corpus(sf_dir: str):
+    """→ (doc_id, lang, n_tokens) of the documents that survive all four
+    curation gates, in corpus order."""
+    thresholds = {k: int(v * MOD) for k, v in STRATA_RATES.items()}
+    default_thr = int(DEFAULT_RATE * MOD)
+
+    def gate_and_hash(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy()
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        # deterministic stratified sample (map-side, no RNG)
+        h = (doc_id.astype(np.int64) * KNUTH) % MOD
+        thr = np.full(len(doc_id), default_thr, dtype=np.int64)
+        for lg, t in thresholds.items():
+            thr[lang == lg] = t
+        sampled = h < thr
+        # quality gate (same 6-dp rounded math as quality_score)
+        texts = b["text"].to_pylist()
+        keep_rows, md5s, n_toks = [], [], []
+        for i in np.flatnonzero(sampled):
+            toks = tokenize_simple(texts[i] or "")
+            n = len(toks)
+            if n == 0:
+                q = 1.0
+            else:
+                sr = round(float(np.float64(
+                    sum(1 for x in toks if x in STOPWORDS)) /
+                    np.float64(n)), 6)
+                shr = round(float(np.float64(
+                    sum(1 for x in toks if len(x) <= 2)) /
+                    np.float64(n)), 6)
+                q = round((1 - sr) * 0.6 + (1 - shr) * 0.4, 6)
+            if q >= QUALITY_MIN:
+                keep_rows.append(i)
+                md5s.append(hashlib.md5(
+                    (texts[i] or "").encode("utf-8")).hexdigest())
+                n_toks.append(n)
+        keep_rows = np.asarray(keep_rows, dtype=np.int64)
+        # bucket by md5 prefix: the exact-dedup shuffle key (a fixed fan
+        # of buckets, each holding its md5 groups whole — one call per
+        # bucket in md5_min, vectorized across all groups inside it)
+        buckets = np.asarray([int(h[:8], 16) % MD5_BUCKETS for h in md5s],
+                             dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array(buckets, pa.int64()),
+            "text_hash": pa.array(md5s, pa.string()),
+            "doc_id": pa.array(doc_id[keep_rows], pa.int64()),
+            "lang": pa.array(lang[keep_rows].astype(object), pa.string()),
+            "n_tokens": pa.array(n_toks, pa.int64()),
+        })
+
+    def md5_min(b: pa.Table) -> pa.Table:
+        # per-md5 keeper = min doc_id among survivors (all of a hash's
+        # rows land in one bucket; vectorized first-of-group selection)
+        hs = b["text_hash"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy()
+        order = np.lexsort((ids, hs))
+        hs_s = hs[order]
+        first = np.concatenate([[True], hs_s[1:] != hs_s[:-1]])
+        return b.take(pa.array(order[first]))
+
+    def rekey(b: pa.Table) -> pa.Table:
+        # re-bucket by doc_id for the anti-join co-partition
+        ids = b["doc_id"].to_numpy()
+        return pa.table({
+            "jbucket": pa.array(ids % MD5_BUCKETS),
+            "doc_id": b["doc_id"], "lang": b["lang"],
+            "n_tokens": b["n_tokens"],
+        })
+
+    survivors = (_read_docs(sf_dir)
+                 .map_batches(gate_and_hash, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(md5_min, batch_format="pyarrow")
+                 .map_batches(rekey, batch_format="pyarrow"))
+
+    # near-dup non-representatives from the full-corpus clustering,
+    # tagged with n_tokens = -1 (survivor rows always have >= 0)
+    def nr_tag(b: pa.Table) -> pa.Table:
+        drop = b["doc_id"].filter(
+            pc.not_equal(b["doc_id"], b["cluster_id"]))
+        ids = drop.to_numpy() if len(drop) else np.array([], np.int64)
+        return pa.table({
+            "jbucket": pa.array(ids % MD5_BUCKETS),
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array([None] * len(ids), pa.string()),
+            "n_tokens": pa.array(np.full(len(ids), -1, np.int64)),
+        })
+
+    non_reps = dedup_clusters(sf_dir).map_batches(
+        nr_tag, batch_format="pyarrow")
+
+    # hash-bucket left-anti join: each doc_id's rows (one survivor row,
+    # zero-or-one drop row) co-locate in one jbucket group; the kernel
+    # is a vectorized sorted-membership test (the order_priority_revenue
+    # co-partition pattern — Ray's Dataset.join is avoided because the
+    # schema-less empty blocks map_groups emits break its hash shuffle)
+    import pandas as pd
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        nt = g["n_tokens"].to_numpy()
+        keep, drop = g[nt >= 0], g[nt < 0]
+        dropped = np.sort(drop["doc_id"].to_numpy())
+        ids = keep["doc_id"].to_numpy()
+        i = np.searchsorted(dropped, ids)
+        hit = (i < len(dropped))
+        i = np.minimum(i, max(len(dropped) - 1, 0))
+        hit &= (dropped[i] == ids) if len(dropped) else False
+        out = keep[~hit]
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_tokens": pa.array(out["n_tokens"].to_numpy(), pa.int64()),
+        })
+
+    return (survivors.union(non_reps)
+            .groupby("jbucket")
+            .map_groups(anti, batch_format="pandas"))
+
+
+def curate_corpus_sql() -> str:
+    cases = " ".join(f"WHEN '{lg}' THEN {int(r * MOD)}"
+                     for lg, r in STRATA_RATES.items())
+    return f"""
+WITH q AS ({quality_score_sql().replace('ORDER BY doc_id', '')}),
+sampled AS (
+  SELECT d.doc_id, d.lang, d.text, q.n_tokens
+  FROM documents d JOIN q USING (doc_id)
+  WHERE (d.doc_id * {KNUTH}) % {MOD} <
+        CASE d.lang {cases} ELSE {int(DEFAULT_RATE * MOD)} END
+    AND q.quality >= {QUALITY_MIN}
+),
+deduped AS (
+  SELECT doc_id, lang, n_tokens FROM sampled
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+comp AS ({dedup_clusters_sql().replace('ORDER BY doc_id', '')})
+SELECT k.doc_id, k.lang, k.n_tokens
+FROM deduped k
+WHERE NOT EXISTS (SELECT 1 FROM comp c
+                  WHERE c.doc_id = k.doc_id
+                    AND c.cluster_id <> c.doc_id)
+ORDER BY k.doc_id
+"""
+
+
+def curation_report(sf_dir: str):
+    """→ per-language (lang, n_docs, sum_tokens) of the curated corpus —
+    the data-mixing accounting a training run reads before weighting."""
+    from ray.data.aggregate import Count, Sum
+
+    return (curate_corpus(sf_dir)
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="sum_tokens")))
+
+
+def curation_report_sql() -> str:
+    return f"""
+WITH kept AS ({curate_corpus_sql().replace('ORDER BY k.doc_id', '')})
+SELECT lang, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+FROM kept GROUP BY lang ORDER BY lang
+"""
