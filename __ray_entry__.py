@@ -89,11 +89,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": relational.events_asof_join,
         "events_window_join": relational.events_window_join,
         "events_hopping_window": relational.events_hopping_window,
+        "events_funnel": relational.events_funnel,
         "events_value_quantiles": relational.events_value_quantiles,
         "order_priority_revenue": relational.order_priority_revenue,
         # training-data curation
         "stratified_sample": sampling.stratified_sample,
         "sample_k_per_group": sampling.sample_k_per_group,
+        "pack_sequences": sampling.pack_sequences,
         "curate_corpus": curation.curate_corpus,
         "curation_report": curation.curation_report,
         "embedding_kmeans": similarity.embedding_kmeans,
@@ -127,10 +129,12 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": relational.events_asof_join_sql(),
         "events_window_join": relational.events_window_join_sql(),
         "events_hopping_window": relational.events_hopping_window_sql(),
+        "events_funnel": relational.events_funnel_sql(),
         "events_value_quantiles": relational.events_value_quantiles_sql(),
         "order_priority_revenue": relational.order_priority_revenue_sql(),
         "stratified_sample": sampling.stratified_sample_sql(),
         "sample_k_per_group": sampling.sample_k_per_group_sql(),
+        "pack_sequences": sampling.pack_sequences_sql(),
         "curate_corpus": curation.curate_corpus_sql(),
         "curation_report": curation.curation_report_sql(),
     }

@@ -795,3 +795,59 @@ FROM quantiles q
 JOIN ordered o ON o.rn = GREATEST(1, CAST(ceil(q.q * o.n) AS BIGINT))
 ORDER BY 1
 """
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str):
+    """Ordered conversion funnel view → click → purchase: → (stage,
+    n_users) where a user counts for stage k when the earliest chain
+    event-time for stage k exists (stage k's earliest occurrence strictly
+    after the user's stage-(k-1) chain time).
+
+    Same single ``groupby(user_id)`` shuffle as sessionize; the per-group
+    kernel walks the stage list with one ``searchsorted`` per stage over
+    that user's time-sorted events — no pairwise joins, no driver state.
+    The stage rollup is a trivial 3-row aggregate.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def chain(g: pd.DataFrame) -> pa.Table:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        reached = np.zeros(len(FUNNEL_STAGES), dtype=np.int64)
+        cursor = -1  # chain time so far (exclusive)
+        for k, stage in enumerate(FUNNEL_STAGES):
+            st = np.sort(ts[et == stage])
+            i = np.searchsorted(st, cursor, side="right")
+            if i >= len(st):
+                break
+            cursor = st[i]
+            reached[k] = 1
+        return pa.table({
+            "stage": pa.array(list(FUNNEL_STAGES), pa.string()),
+            "n_part": pa.array(reached),
+        })
+
+    return (ds.groupby("user_id").map_groups(chain, batch_format="pandas")
+            .groupby("stage").aggregate(Sum("n_part", alias_name="n_users")))
+
+
+def events_funnel_sql() -> str:
+    return """
+WITH v AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1)
+SELECT 'view' AS stage, count(*) AS n_users FROM v
+UNION ALL SELECT 'click', count(*) FROM c
+UNION ALL SELECT 'purchase', count(*) FROM p
+ORDER BY stage
+"""

@@ -120,3 +120,82 @@ QUALIFY row_number() OVER (
     ORDER BY (doc_id * {KNUTH}) % {MOD}, doc_id) <= {K_PER_GROUP}
 ORDER BY lang, doc_id
 """
+
+
+PACK_BUDGET = 2048       # tokens per packed sequence
+PACK_PARTS = 16          # independent packing partitions
+
+
+def pack_sequences(sf_dir: str):
+    """→ (doc_id, part, bin_id, bin_offset): assign every document to a
+    fixed token-budget training bin — the sequence-packing step a
+    pretraining dataloader needs (contiguous fill: a doc starts at the
+    running token offset of its partition; its bin is that offset //
+    budget).
+
+    Scale shape: packing needs a PREFIX SUM, and a global one would
+    serialize the corpus.  Instead docs hash into ``doc_id % P``
+    partitions and each partition packs independently in doc_id order —
+    one ``groupby(part)`` shuffle of (doc_id, n_tokens) pairs, a
+    vectorized cumsum per group, and P scales with the cluster.  Global
+    bin ids are ``part * 2^32 + local_bin`` (disjoint by construction).
+    Token counts are the shared ``tokenize_simple`` definition, so the
+    DuckDB oracle replicates the packing bit-for-bit with window
+    functions.
+    """
+    import pandas as pd
+
+    from ..functions.tokenizer import tokenize_simple
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        n_toks = [len(tokenize_simple(t or ""))
+                  for t in b["text"].to_pylist()]
+        return pa.table({
+            "part": pa.array(ids % PACK_PARTS),
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(np.asarray(n_toks, np.int64)),
+        })
+
+    def pack(g: pd.DataFrame) -> pa.Table:
+        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+        ids = g["doc_id"].to_numpy()[order]
+        nt = g["n_tokens"].to_numpy()[order]
+        prev = np.concatenate([[0], np.cumsum(nt)[:-1]])
+        part = int(g["part"].iloc[0])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "part": pa.array(np.full(len(ids), part, np.int64)),
+            "bin_id": pa.array(part * (1 << 32) + prev // PACK_BUDGET),
+            "bin_offset": pa.array(prev % PACK_BUDGET),
+        })
+
+    import ray.data
+
+    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+            .map_batches(count_tokens, batch_format="pyarrow")
+            .groupby("part").map_groups(pack, batch_format="pandas"))
+
+
+def pack_sequences_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         (SELECT count(*) FROM UNNEST(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+          WHERE t.term <> '') AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, doc_id % {PACK_PARTS} AS part, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY doc_id % {PACK_PARTS} ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM toks
+)
+SELECT doc_id, part,
+       part * {1 << 32} + prev // {PACK_BUDGET} AS bin_id,
+       prev % {PACK_BUDGET} AS bin_offset
+FROM packed ORDER BY doc_id
+"""
