@@ -105,7 +105,7 @@ def run_headline(sf_dir: str, num_cpus: int, full: bool = True,
 
     if full:
         from open_source_search_engine_ray.pipelines import (
-            dedup, doc_search, relational, sampling, similarity,
+            curation, dedup, doc_search, relational, sampling, similarity,
             text_analysis)
         for name, fn in [
             ("bm25_topk_docs", doc_search.bm25_topk_docs),
@@ -116,6 +116,7 @@ def run_headline(sf_dir: str, num_cpus: int, full: bool = True,
             ("order_priority_revenue", relational.order_priority_revenue),
             ("stratified_sample", sampling.stratified_sample),
             ("top_terms", text_analysis.top_terms),
+            ("curate_corpus", curation.curate_corpus),
         ]:
             t0 = time.time()
             res = fn(sf_dir)

@@ -101,6 +101,8 @@ def curate_corpus(sf_dir: str):
     def md5_min(b: pa.Table) -> pa.Table:
         # per-md5 keeper = min doc_id among survivors (all of a hash's
         # rows land in one bucket; vectorized first-of-group selection)
+        if b.num_rows == 0:
+            return b
         hs = b["text_hash"].to_numpy(zero_copy_only=False)
         ids = b["doc_id"].to_numpy()
         order = np.lexsort((ids, hs))
@@ -210,3 +212,54 @@ WITH kept AS ({curate_corpus_sql().replace('ORDER BY k.doc_id', '')})
 SELECT lang, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
 FROM kept GROUP BY lang ORDER BY lang
 """
+
+
+N_OUT_PARTS = 16
+
+
+def curate_and_write(sf_dir: str, out_dir: str) -> dict:
+    """Write the curated corpus as RESUMABLE partitioned Parquet: one
+    directory per ``doc_id % N_OUT_PARTS`` shard, each committed with a
+    ``_SUCCESS`` marker — a re-run after a mid-job failure skips every
+    committed shard and recomputes only the missing ones (the same
+    tmp-then-rename + marker discipline as the index segment writer,
+    ``index/segments.py::write_segment``; reference analogue: RdbDump's
+    atomic map+data commit, ``RdbDump.cpp``).
+
+    Returns {"written": [...], "skipped": [...]} shard names.
+
+    Partition pruning on re-run happens BEFORE the pipeline executes —
+    the source read filters to missing shards (a map-side predicate), so
+    a resume over one missing shard streams ~1/N of the corpus, not all
+    of it, through the gates.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    written, skipped = [], []
+    todo = []
+    for p in range(N_OUT_PARTS):
+        part_dir = os.path.join(out_dir, f"part={p}")
+        if os.path.exists(os.path.join(part_dir, "_SUCCESS")):
+            skipped.append(f"part={p}")
+        else:
+            todo.append(p)
+    if todo:
+        todo_set = np.asarray(sorted(todo), dtype=np.int64)
+        kept = curate_corpus(sf_dir).map_batches(
+            lambda b: b.filter(pa.array(np.isin(
+                b["doc_id"].to_numpy() % N_OUT_PARTS, todo_set))),
+            batch_format="pyarrow")
+        tbl = pa.table(kept.to_pandas())  # post-curation: small per shard
+        parts = tbl["doc_id"].to_numpy() % N_OUT_PARTS
+        for p in todo:
+            part_dir = os.path.join(out_dir, f"part={p}")
+            os.makedirs(part_dir, exist_ok=True)
+            tmp = os.path.join(part_dir, "data.parquet.tmp")
+            pq.write_table(tbl.filter(pa.array(parts == p)), tmp)
+            os.replace(tmp, os.path.join(part_dir, "data.parquet"))
+            with open(os.path.join(part_dir, "_SUCCESS"), "w"):
+                pass
+            written.append(f"part={p}")
+    return {"written": written, "skipped": skipped}

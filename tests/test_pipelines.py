@@ -116,6 +116,40 @@ def test_embedding_kmeans_anchor(entrymod):
         assert abs(s - bsim[int(vid)]) < 1e-9
 
 
+def test_curate_and_write_resumable(ray_session, tmp_path):
+    """Partitioned curation output: first run writes all shards; after a
+    simulated mid-job failure (one shard's _SUCCESS removed) the re-run
+    recomputes ONLY that shard, and the union of shards equals the
+    pipeline's own result."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from open_source_search_engine_ray.pipelines import curation
+
+    out = str(tmp_path / "curated")
+    r1 = curation.curate_and_write(SF, out)
+    assert len(r1["written"]) == curation.N_OUT_PARTS
+    assert r1["skipped"] == []
+
+    r2 = curation.curate_and_write(SF, out)          # fully committed
+    assert r2["written"] == []
+    assert len(r2["skipped"]) == curation.N_OUT_PARTS
+
+    os.remove(os.path.join(out, "part=3", "_SUCCESS"))
+    r3 = curation.curate_and_write(SF, out)          # resume one shard
+    assert r3["written"] == ["part=3"]
+    assert len(r3["skipped"]) == curation.N_OUT_PARTS - 1
+
+    got = pd.concat([
+        pq.read_table(os.path.join(out, f"part={p}", "data.parquet"))
+        .to_pandas() for p in range(curation.N_OUT_PARTS)])
+    want = curation.curate_corpus(SF).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_jaccard_hot_shingle_corpus(ray_session, tmp_path):
     """Exactness under an injected hot shingle: hundreds of docs share a
     boilerplate prefix (a pathological skew key for the round-1
