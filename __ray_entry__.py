@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": sampling.pack_sequences,
         "curate_corpus": curation.curate_corpus,
         "curation_report": curation.curation_report,
+        "decontaminate": curation.decontaminate,
         "embedding_kmeans": similarity.embedding_kmeans,
     }
 
@@ -137,4 +138,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": sampling.pack_sequences_sql(),
         "curate_corpus": curation.curate_corpus_sql(),
         "curation_report": curation.curation_report_sql(),
+        "decontaminate": curation.decontaminate_sql(),
     }

@@ -263,3 +263,105 @@ def curate_and_write(sf_dir: str, out_dir: str) -> dict:
                 pass
             written.append(f"part={p}")
     return {"written": written, "skipped": skipped}
+
+
+DECON_N = 5               # decontamination n-gram width
+EVAL_MOD = 97             # doc_id % EVAL_MOD == 0 -> "benchmark" doc
+
+
+def _decon_shingles(text: str) -> list[str]:
+    toks = tokenize_simple(text or "")
+    if len(toks) < DECON_N:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i:i + DECON_N])
+            for i in range(len(toks) - DECON_N + 1)]
+
+
+def decontaminate(sf_dir: str):
+    """Benchmark decontamination: → (doc_id, n_hit_shingles) for every
+    NON-eval document sharing at least one distinct 5-gram with the eval
+    set (here, the deterministic pseudo-benchmark ``doc_id % 97 == 0``) —
+    the overlap scan a pretraining corpus runs against held-out eval
+    suites before training.
+
+    Scale shape: the eval side is the small side by definition (eval
+    suites are MBs against a 100-TB corpus), so its distinct shingle
+    hashes are collected once and broadcast via ``ray.put``; the corpus
+    pass is a pure map-side sorted-membership test (``np.searchsorted``
+    per batch) — NO shuffle at all, the only aggregate is the hit rows
+    themselves.  Same no-coordination re-run determinism as the rest of
+    the curation family.
+    """
+    import ray
+
+    from ..functions.ghash import hash64_batch
+
+    def eval_shingles(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        sel = np.flatnonzero(ids % EVAL_MOD == 0)
+        texts = b["text"].to_pylist()
+        out = set()
+        for i in sel:
+            out.update(_decon_shingles(texts[i]))
+        sh = sorted(out)
+        return pa.table({"h": pa.array(
+            hash64_batch([x.encode() for x in sh]).astype(np.int64) if sh
+            else np.array([], np.int64))})
+
+    eval_h = np.unique(np.concatenate([
+        b["h"].to_numpy() for b in
+        _read_docs(sf_dir).map_batches(eval_shingles,
+                                       batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")] or
+        [np.array([], np.int64)]))
+    ref = ray.put(eval_h)
+
+    def scan(b: pa.Table) -> pa.Table:
+        ev = ray.get(ref)
+        ids = b["doc_id"].to_numpy()
+        texts = b["text"].to_pylist()
+        out_id, out_n = [], []
+        for i in np.flatnonzero(ids % EVAL_MOD != 0):
+            sh = list(set(_decon_shingles(texts[i])))
+            if not sh:
+                continue
+            hs = hash64_batch([x.encode() for x in sh]).astype(np.int64)
+            j = np.searchsorted(ev, hs)
+            hit = (j < len(ev))
+            j = np.minimum(j, max(len(ev) - 1, 0))
+            hit &= (ev[j] == hs) if len(ev) else False
+            n = int(hit.sum())
+            if n:
+                out_id.append(int(ids[i]))
+                out_n.append(n)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_hit_shingles": pa.array(out_n, pa.int64()),
+        })
+
+    return _read_docs(sf_dir).map_batches(scan, batch_format="pyarrow")
+
+
+def decontaminate_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(arr) < {DECON_N}
+              THEN array_to_string(arr, ' ')
+              ELSE array_to_string(arr[i:i+{DECON_N - 1}], ' ') END AS s
+  FROM toks,
+       UNNEST(range(1, greatest(len(arr) - {DECON_N - 1}, 1) + 1)) AS r(i)
+  WHERE len(arr) > 0
+),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {EVAL_MOD} = 0)
+SELECT c.doc_id, count(*) AS n_hit_shingles
+FROM sh c JOIN ev ON c.s = ev.s
+WHERE c.doc_id % {EVAL_MOD} <> 0
+GROUP BY 1 ORDER BY 1
+"""
