@@ -259,8 +259,10 @@ def refresh_stats(out_dir: str) -> dict:
                             columns=["doc_id", "dl_q"])
                .aggregate(Sum("dl_q", alias_name="total_dlq"),
                           Count(alias_name="n_docs")))
-        n_docs = int(agg["n_docs"] or 0)
-        total_dlq = int(agg["total_dlq"] or 0)
+        # Ray returns None (not a dict) for an empty dataset — e.g.
+        # every doc tombstoned
+        n_docs = int(agg["n_docs"] or 0) if agg else 0
+        total_dlq = int(agg["total_dlq"] or 0) if agg else 0
     gens["live_stats"] = {
         "n_docs": n_docs,
         "total_dlq": total_dlq,
@@ -514,10 +516,16 @@ def compact_merge(out_dir: str) -> dict:
     stats_dir = os.path.join(new_dir, "docstats")
     os.makedirs(stats_dir, exist_ok=True)
     live_docs_ds(out_dir, "docstats").write_parquet(stats_dir)
-    agg = (ray.data.read_parquet(stats_dir, columns=["dl_q"])
-           .aggregate(Sum("dl_q", alias_name="t"), Count(alias_name="n")))
-    n_docs = int(agg["n"] or 0)
-    total_dlq = int(agg["t"] or 0)
+    stats_files = [f for f in os.listdir(stats_dir)
+                   if f.endswith(".parquet")]
+    if stats_files:
+        agg = (ray.data.read_parquet(stats_dir, columns=["dl_q"])
+               .aggregate(Sum("dl_q", alias_name="t"),
+                          Count(alias_name="n")))
+    else:
+        agg = None     # all docs tombstoned: write_parquet left no files
+    n_docs = int(agg["n"] or 0) if agg else 0
+    total_dlq = int(agg["t"] or 0) if agg else 0
     avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(max(1, n_docs)))
     store_dir = os.path.join(new_dir, "docstore")
     os.makedirs(store_dir, exist_ok=True)

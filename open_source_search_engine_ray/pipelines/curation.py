@@ -34,7 +34,8 @@ import pyarrow.compute as pc
 from ..functions.stopwords import STOPWORDS
 from ..functions.tokenizer import tokenize_simple
 from .dedup import dedup_clusters, dedup_clusters_sql
-from .sampling import DEFAULT_RATE, KNUTH, MOD, STRATA_RATES
+from .sampling import (DEFAULT_RATE, KNUTH_SQL, MOD, STRATA_RATES,
+                       knuth_hash)
 from .text_analysis import quality_score_sql
 
 QUALITY_MIN = 0.93
@@ -58,7 +59,7 @@ def curate_corpus(sf_dir: str):
         doc_id = b["doc_id"].to_numpy()
         lang = b["lang"].to_numpy(zero_copy_only=False)
         # deterministic stratified sample (map-side, no RNG)
-        h = (doc_id.astype(np.int64) * KNUTH) % MOD
+        h = knuth_hash(doc_id)
         thr = np.full(len(doc_id), default_thr, dtype=np.int64)
         for lg, t in thresholds.items():
             thr[lang == lg] = t
@@ -149,14 +150,12 @@ def curate_corpus(sf_dir: str):
     import pandas as pd
 
     def anti(g: pd.DataFrame) -> pa.Table:
+        from ..query.kernel import in_sorted
+
         nt = g["n_tokens"].to_numpy()
         keep, drop = g[nt >= 0], g[nt < 0]
         dropped = np.sort(drop["doc_id"].to_numpy())
-        ids = keep["doc_id"].to_numpy()
-        i = np.searchsorted(dropped, ids)
-        hit = (i < len(dropped))
-        i = np.minimum(i, max(len(dropped) - 1, 0))
-        hit &= (dropped[i] == ids) if len(dropped) else False
+        hit = in_sorted(keep["doc_id"].to_numpy(), dropped)
         out = keep[~hit]
         return pa.table({
             "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
@@ -177,7 +176,7 @@ WITH q AS ({quality_score_sql().replace('ORDER BY doc_id', '')}),
 sampled AS (
   SELECT d.doc_id, d.lang, d.text, q.n_tokens
   FROM documents d JOIN q USING (doc_id)
-  WHERE (d.doc_id * {KNUTH}) % {MOD} <
+  WHERE {KNUTH_SQL.replace('doc_id', 'd.doc_id')} <
         CASE d.lang {cases} ELSE {int(DEFAULT_RATE * MOD)} END
     AND q.quality >= {QUALITY_MIN}
 ),
@@ -228,10 +227,13 @@ def curate_and_write(sf_dir: str, out_dir: str) -> dict:
 
     Returns {"written": [...], "skipped": [...]} shard names.
 
-    Partition pruning on re-run happens BEFORE the pipeline executes —
-    the source read filters to missing shards (a map-side predicate), so
-    a resume over one missing shard streams ~1/N of the corpus, not all
-    of it, through the gates.
+    Resume economics: committed shards are skipped without any work, but
+    the curation PIPELINE recomputes for the missing shards — the shard
+    predicate cannot push below the dedup shuffles because exact-dedup
+    keepers and near-dup representatives are corpus-wide decisions (a
+    shard-restricted rerun would pick different keepers).  A production
+    resume that must avoid recompute persists the curated set once
+    (one extra parquet round-trip) and fans the writes out from that.
     """
     import os
 
@@ -316,6 +318,8 @@ def decontaminate(sf_dir: str):
         [np.array([], np.int64)]))
     ref = ray.put(eval_h)
 
+    from ..query.kernel import in_sorted
+
     def scan(b: pa.Table) -> pa.Table:
         ev = ray.get(ref)
         ids = b["doc_id"].to_numpy()
@@ -326,11 +330,7 @@ def decontaminate(sf_dir: str):
             if not sh:
                 continue
             hs = hash64_batch([x.encode() for x in sh]).astype(np.int64)
-            j = np.searchsorted(ev, hs)
-            hit = (j < len(ev))
-            j = np.minimum(j, max(len(ev) - 1, 0))
-            hit &= (ev[j] == hs) if len(ev) else False
-            n = int(hit.sum())
+            n = int(in_sorted(hs, ev).sum())
             if n:
                 out_id.append(int(ids[i]))
                 out_n.append(n)

@@ -449,14 +449,23 @@ def events_asof_join(sf_dir: str):
         ts = g["ts_us"].to_numpy()
         is_click = g["is_click"].to_numpy(dtype=bool)
         val = g["value"].to_numpy()
-        vorder = np.argsort(ts[~is_click], kind="stable")
+        # (ts, value) lexsort: side='right' lands on the LAST row of a
+        # tied-timestamp run, i.e. the max value — a deterministic pick
+        # mirrored by the oracle's per-(user, ts) max(value) pre-agg
+        vorder = np.lexsort((val[~is_click], ts[~is_click]))
         vts = ts[~is_click][vorder]
         vval = val[~is_click][vorder]
         cts = ts[is_click]
-        idx = np.searchsorted(vts, cts, side="right") - 1
-        ok = idx >= 0
-        view_value = np.where(ok, vval[np.clip(idx, 0, None)], np.nan)
-        lag = np.where(ok, cts - vts[np.clip(idx, 0, None)], 0)
+        if len(vts) == 0:          # click-only user: no prior view exists
+            n = len(cts)
+            view_value = np.full(n, np.nan)
+            lag = np.zeros(n, dtype=np.int64)
+            ok = np.zeros(n, dtype=bool)
+        else:
+            idx = np.searchsorted(vts, cts, side="right") - 1
+            ok = idx >= 0
+            view_value = np.where(ok, vval[np.clip(idx, 0, None)], np.nan)
+            lag = np.where(ok, cts - vts[np.clip(idx, 0, None)], 0)
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy()[is_click],
             "user_id": np.repeat(int(g["user_id"].iloc[0]),
@@ -478,8 +487,10 @@ def events_asof_join_sql() -> str:
     return """
 WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
                 WHERE event_type = 'click'),
-     views  AS (SELECT user_id, ts, value FROM events
-                WHERE event_type = 'view')
+     -- max(value) per (user, ts) removes timestamp ties so the ASOF
+     -- pick is deterministic (matches the engine's lexsort tie-break)
+     views  AS (SELECT user_id, ts, max(value) AS value FROM events
+                WHERE event_type = 'view' GROUP BY 1, 2)
 SELECT c.event_id AS event_id, c.user_id AS user_id,
        epoch_us(c.ts) AS ts_us, c.value AS click_value,
        v.value AS view_value,
@@ -685,6 +696,11 @@ def order_priority_revenue(sf_dir: str):
     def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
         is_order = g["rev_e4"].to_numpy() < 0
         okeys = g["orderkey"].to_numpy()[is_order]
+        if len(okeys) == 0:        # bucket with lineitems but no orders
+            return pd.DataFrame({
+                "priority": np.array([], dtype=object),
+                "n_orders_part": np.array([], dtype=np.int64),
+                "rev_e4_part": np.array([], dtype=np.int64)})
         oprio = g["priority"].to_numpy()[is_order]
         oorder = np.argsort(okeys, kind="stable")
         okeys, oprio = okeys[oorder], oprio[oorder]

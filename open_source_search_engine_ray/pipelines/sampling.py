@@ -19,6 +19,19 @@ import pyarrow as pa
 
 KNUTH = 2654435761
 MOD = 1 << 32
+# SQL twin of knuth_hash(): HUGEINT intermediate so the product can never
+# overflow BIGINT (doc_id > ~3.47e9 would wrap int64)
+KNUTH_SQL = f"((doc_id % {MOD})::HUGEINT * {KNUTH}) % {MOD}"
+
+
+def knuth_hash(doc_id):
+    """(doc_id mod 2^32) * KNUTH mod 2^32, exact for ALL int64 doc_ids:
+    uint64 arithmetic holds the <= (2^32-1) * KNUTH < 2^64 product, where
+    the old int64 path silently wrapped past doc_id ~ 3.47e9."""
+    import numpy as np
+
+    return (((doc_id.astype(np.uint64) % MOD) * np.uint64(KNUTH)) %
+            np.uint64(MOD)).astype(np.int64)
 
 # per-language keep rates (a data-mixing recipe: keep half the English,
 # thin the rest) — doc_id-keyed so the sample is reproducible
@@ -48,7 +61,7 @@ def stratified_sample(sf_dir: str):
 
     def keep(b: pa.Table) -> pa.Table:
         doc_id = b["doc_id"].to_numpy()
-        h = (doc_id.astype(np.int64) * KNUTH) % MOD
+        h = knuth_hash(doc_id)
         lang = b["lang"].to_numpy(zero_copy_only=False)
         thr = np.full(len(doc_id), default_thr, dtype=np.int64)
         for lg, t in thresholds.items():
@@ -65,7 +78,7 @@ def stratified_sample_sql() -> str:
         for lg, r in STRATA_RATES.items())
     return f"""
 SELECT doc_id, lang FROM documents
-WHERE (doc_id * {KNUTH}) % {MOD} <
+WHERE {KNUTH_SQL} <
       CASE lang {cases} ELSE {int(DEFAULT_RATE * MOD)} END
 ORDER BY doc_id
 """
@@ -91,7 +104,7 @@ def sample_k_per_group(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         doc_id = b["doc_id"].to_numpy()
-        h = (doc_id.astype(np.int64) * KNUTH) % MOD
+        h = knuth_hash(doc_id)
         df = pd.DataFrame({
             "lang": b["lang"].to_numpy(zero_copy_only=False),
             "doc_id": doc_id, "h": h})
@@ -117,7 +130,7 @@ def sample_k_per_group_sql() -> str:
 SELECT lang, doc_id FROM documents
 QUALIFY row_number() OVER (
     PARTITION BY lang
-    ORDER BY (doc_id * {KNUTH}) % {MOD}, doc_id) <= {K_PER_GROUP}
+    ORDER BY {KNUTH_SQL}, doc_id) <= {K_PER_GROUP}
 ORDER BY lang, doc_id
 """
 

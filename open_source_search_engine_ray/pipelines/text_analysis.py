@@ -301,21 +301,36 @@ def top_terms(sf_dir: str):
         for text in batch["text"].to_pylist():
             for t in tokenize_simple(text or ""):
                 counts[t] = counts.get(t, 0) + 1
+        thresh = 0
         if len(counts) > MG_CAPACITY:
             vals = np.sort(np.fromiter(counts.values(), dtype=np.int64))
-            thresh = vals[len(vals) - MG_CAPACITY - 1]  # (C+1)-th largest
+            thresh = int(vals[len(vals) - MG_CAPACITY - 1])  # (C+1)-th largest
             counts = {t: c - thresh for t, c in counts.items()
                       if c > thresh}
+        # "\x00r" sentinel row: this batch's truncation residual.  Any
+        # term NOT in a batch summary was undercounted by <= thresh, so
+        # sum(thresh) bounds the total undercount of any term — the
+        # soundness certificate checked below (no real term can collide
+        # with the sentinel: the tokenizer never emits NUL bytes)
         return pa.table({
-            "term": pa.array(list(counts.keys()), pa.string()),
-            "n_lb": pa.array(list(counts.values()), pa.int64()),
+            "term": pa.array(list(counts.keys()) + ["\x00r"], pa.string()),
+            "n_lb": pa.array(list(counts.values()) + [thresh], pa.int64()),
         })
 
-    cand = (_read_docs(sf_dir).map_batches(mg_partial,
-                                           batch_format="pyarrow")
-            .groupby("term").aggregate(Sum("n_lb", alias_name="n_lb"))
-            .to_pandas()
-            .nlargest(TOP_TERMS_K * 4, "n_lb"))
+    lb = (_read_docs(sf_dir).map_batches(mg_partial,
+                                         batch_format="pyarrow")
+          .groupby("term").aggregate(Sum("n_lb", alias_name="n_lb"))
+          .to_pandas())
+    residual = int(lb.loc[lb["term"] == "\x00r", "n_lb"].sum())
+    lb = lb[lb["term"] != "\x00r"]
+    cand = lb.nlargest(TOP_TERMS_K * 4, "n_lb")
+    # soundness: an excluded term's true count <= its lower bound
+    # (<= cut, the smallest candidate bound) + the global residual.
+    # With no truncation anywhere the bounds ARE the exact counts and
+    # the candidate set is provably sufficient.
+    cut = int(cand["n_lb"].min()) if len(cand) else 0
+    exclusion_bound = 0 if (residual == 0 or len(lb) <= len(cand)) \
+        else cut + residual
     cand_sorted = np.sort(cand["term"].to_numpy().astype(object))
     ref = ray.put(cand_sorted)
 
@@ -340,6 +355,29 @@ def top_terms(sf_dir: str):
              .to_pandas())
     exact = exact.sort_values(["n", "term"], ascending=[False, True],
                               kind="stable").head(TOP_TERMS_K)
+    kth = int(exact["n"].min()) if len(exact) else 0
+    # strict >: an excluded term tying kth could still win the name
+    # tie-break, so equality is not a certificate
+    if exclusion_bound > 0 and kth <= exclusion_bound:
+        # certificate failed (near-flat frequency distribution): the
+        # sketch cannot prove the candidate set contains the true top-K.
+        # Fall back to the exact full-vocabulary count — more shuffle,
+        # still correct; the sketch path is the fast common case.
+        def all_counts(batch: pa.Table) -> pa.Table:
+            counts: dict[str, int] = {}
+            for text in batch["text"].to_pylist():
+                for t in tokenize_simple(text or ""):
+                    counts[t] = counts.get(t, 0) + 1
+            return pa.table({
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "n_part": pa.array(list(counts.values()), pa.int64())})
+
+        exact = (_read_docs(sf_dir).map_batches(all_counts,
+                                                batch_format="pyarrow")
+                 .groupby("term").aggregate(Sum("n_part", alias_name="n"))
+                 .to_pandas()
+                 .sort_values(["n", "term"], ascending=[False, True],
+                              kind="stable").head(TOP_TERMS_K))
     return pd.DataFrame({"term": exact["term"].to_numpy(),
                          "n": exact["n"].to_numpy().astype(np.int64)})
 

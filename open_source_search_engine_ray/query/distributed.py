@@ -183,5 +183,16 @@ class DistributedSearcher:
                 hit = self._cache.get((tid, True), MISSING)
                 if hit is MISSING:
                     hit = self._cache.get((tid, False), MISSING)
-                lists[tid] = None if hit is MISSING else hit
+                if hit is MISSING:
+                    # cache hit at fan-out time but evicted since (another
+                    # term's put() can push this one out mid-query) —
+                    # re-fetch rather than mis-score the term as absent
+                    wp = tid in phrase_terms
+                    parts = [p for chunk in ray.get(
+                        [self._servers[s].get_parts.remote(tid, wp)
+                         for s in self._servers_for_term(tid)])
+                        for p in chunk]
+                    hit = self._merge_parts(parts, wp)
+                    self._cache.put((tid, wp), hit)
+                lists[tid] = hit
         return evaluate(pq_, lists, self.n_docs, self.avgdl, self.config, k)

@@ -85,3 +85,72 @@ def test_hot_terms_persisted_for_resume(ray_session, monkeypatch):
     assert calls == [], "resume resampled hot terms"
     assert meta2["hot_terms"] == meta1["hot_terms"]
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_asof_join_click_only_user(ray_session, tmp_path):
+    """Review fix: a user with clicks but zero views must produce null
+    view_value rows, not an IndexError; tied view timestamps must resolve
+    deterministically to the max value (both engine and oracle)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from open_source_search_engine_ray.pipelines import relational
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00:00",           # u1 click (no views at all)
+        "2024-01-01 10:05:00",           # u2 view  (value 1.0)
+        "2024-01-01 10:05:00",           # u2 view  tied ts (value 9.0)
+        "2024-01-01 10:06:00",           # u2 click -> view_value 9.0
+    ])
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array(ts.to_numpy(), pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 2, 2], pa.int64()),
+        "event_type": pa.array(["click", "view", "view", "click"]),
+        "value": pa.array([5.0, 1.0, 9.0, 3.0]),
+        "props": pa.array(["{}"] * 4),
+    })
+    sf = str(tmp_path)
+    pq.write_table(tbl, f"{sf}/events.parquet")
+
+    got = (relational.events_asof_join(sf).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert len(got) == 2
+    assert np.isnan(got.loc[0, "view_value"])        # click-only user
+    assert got.loc[0, "lag_us"] == -1
+    assert got.loc[1, "view_value"] == 9.0           # max of the tie
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(relational.events_asof_join_sql()).fetchdf()
+    assert want.loc[1, "view_value"] == 9.0
+
+
+def test_refresh_and_compact_on_fully_tombstoned_index(ray_session):
+    """Review fix: Ray returns None for an empty-dataset aggregate —
+    refresh_stats and compact_merge must survive an index whose every
+    document is tombstoned (n_docs == 0, no crash, empty search)."""
+    from open_source_search_engine_ray.index.build import build_index
+    from open_source_search_engine_ray.index.merge import (
+        compact_merge, delete_convs, refresh_stats)
+    from open_source_search_engine_ray.query.engine import IndexSearcher
+    from open_source_search_engine_ray.sources.transcripts import (
+        transcripts_dataset, transcripts_table)
+
+    idx = "/tmp/osse_alltomb_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(lambda: transcripts_dataset(60), idx,
+                input_token="synthetic:n=60")
+    convs = transcripts_table(60)["conv_id"].unique()
+    delete_convs(idx, [str(c) for c in convs])
+
+    stats = refresh_stats(idx)
+    assert stats["n_docs"] == 0 and stats["total_dlq"] == 0
+
+    compact_merge(idx)
+    docs, scores = IndexSearcher(idx).search("w0042", 10)
+    assert len(docs) == 0
+    shutil.rmtree(idx, ignore_errors=True)
