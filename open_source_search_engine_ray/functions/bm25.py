@@ -65,6 +65,16 @@ def topk_merge(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     """Exact top-k by (score desc, doc_id asc) → (doc_ids, scores)."""
     if len(doc_ids) == 0:
         return doc_ids[:0], scores[:0]
+    if len(doc_ids) > 4 * k:
+        # O(n) argpartition pre-select, then the tie-exact lexsort runs
+        # over only the k-th-score-and-above subset (score ties at the
+        # boundary are all kept, so (score desc, doc_id asc) order is
+        # unchanged — degenerates to the full sort only under total ties)
+        kk = min(k, len(scores))
+        part = np.argpartition(-scores, kk - 1)[:kk]
+        thresh = scores[part].min()
+        keep = scores >= thresh
+        doc_ids, scores = doc_ids[keep], scores[keep]
     # lexsort: last key is primary
     order = np.lexsort((doc_ids, -scores))
     sel = order[:k]
