@@ -63,7 +63,7 @@ def max_block_impact(tf_w: np.ndarray, dl_w: np.ndarray, avgdl: float,
 
 def topk_merge(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     """Exact top-k by (score desc, doc_id asc) → (doc_ids, scores)."""
-    if len(doc_ids) == 0:
+    if len(doc_ids) == 0 or k <= 0:
         return doc_ids[:0], scores[:0]
     if len(doc_ids) > 4 * k:
         # O(n) argpartition pre-select, then the tie-exact lexsort runs

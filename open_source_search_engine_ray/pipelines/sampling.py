@@ -21,15 +21,16 @@ KNUTH = 2654435761
 MOD = 1 << 32
 # SQL twin of knuth_hash(): HUGEINT intermediate so the product can never
 # overflow BIGINT (doc_id > ~3.47e9 would wrap int64)
-KNUTH_SQL = f"((doc_id % {MOD})::HUGEINT * {KNUTH}) % {MOD}"
+# ((x % M + M) % M) = mathematical mod, matching numpy uint64 even for
+# negative doc_ids (DuckDB % takes the dividend sign)
+KNUTH_SQL = (f"(((doc_id % {MOD} + {MOD}) % {MOD})::HUGEINT "
+             f"* {KNUTH}) % {MOD}")
 
 
 def knuth_hash(doc_id):
     """(doc_id mod 2^32) * KNUTH mod 2^32, exact for ALL int64 doc_ids:
     uint64 arithmetic holds the <= (2^32-1) * KNUTH < 2^64 product, where
     the old int64 path silently wrapped past doc_id ~ 3.47e9."""
-    import numpy as np
-
     return (((doc_id.astype(np.uint64) % MOD) * np.uint64(KNUTH)) %
             np.uint64(MOD)).astype(np.int64)
 

@@ -296,11 +296,15 @@ def top_terms(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    def mg_partial(batch: pa.Table) -> pa.Table:
+    def _batch_counts(batch: pa.Table) -> dict[str, int]:
         counts: dict[str, int] = {}
         for text in batch["text"].to_pylist():
             for t in tokenize_simple(text or ""):
                 counts[t] = counts.get(t, 0) + 1
+        return counts
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        counts = _batch_counts(batch)
         thresh = 0
         if len(counts) > MG_CAPACITY:
             vals = np.sort(np.fromiter(counts.values(), dtype=np.int64))
@@ -329,8 +333,13 @@ def top_terms(sf_dir: str):
     # With no truncation anywhere the bounds ARE the exact counts and
     # the candidate set is provably sufficient.
     cut = int(cand["n_lb"].min()) if len(cand) else 0
-    exclusion_bound = 0 if (residual == 0 or len(lb) <= len(cand)) \
-        else cut + residual
+    # excluded-but-seen terms have true count <= cut + residual; terms
+    # truncated out of EVERY batch summary still have true count <=
+    # residual — so the bound never collapses to 0 while residual > 0
+    if len(lb) > len(cand):
+        exclusion_bound = cut + residual
+    else:
+        exclusion_bound = residual
     cand_sorted = np.sort(cand["term"].to_numpy().astype(object))
     ref = ray.put(cand_sorted)
 
@@ -364,10 +373,7 @@ def top_terms(sf_dir: str):
         # Fall back to the exact full-vocabulary count — more shuffle,
         # still correct; the sketch path is the fast common case.
         def all_counts(batch: pa.Table) -> pa.Table:
-            counts: dict[str, int] = {}
-            for text in batch["text"].to_pylist():
-                for t in tokenize_simple(text or ""):
-                    counts[t] = counts.get(t, 0) + 1
+            counts = _batch_counts(batch)
             return pa.table({
                 "term": pa.array(list(counts.keys()), pa.string()),
                 "n_part": pa.array(list(counts.values()), pa.int64())})

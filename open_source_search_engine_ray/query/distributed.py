@@ -180,14 +180,17 @@ class DistributedSearcher:
                 self._cache.put((tid, wp), tp)
                 lists[tid] = tp
             else:
+                wp = tid in phrase_terms
                 hit = self._cache.get((tid, True), MISSING)
-                if hit is MISSING:
+                if hit is MISSING and not wp:
+                    # positionless entry suffices only for non-phrase
+                    # terms; a phrase term MUST have positions
                     hit = self._cache.get((tid, False), MISSING)
                 if hit is MISSING:
                     # cache hit at fan-out time but evicted since (another
-                    # term's put() can push this one out mid-query) —
-                    # re-fetch rather than mis-score the term as absent
-                    wp = tid in phrase_terms
+                    # term's put() can push this one out mid-query), or
+                    # only a positionless entry exists for a phrase term
+                    # — re-fetch rather than mis-score the term
                     parts = [p for chunk in ray.get(
                         [self._servers[s].get_parts.remote(tid, wp)
                          for s in self._servers_for_term(tid)])
