@@ -154,3 +154,29 @@ def test_refresh_and_compact_on_fully_tombstoned_index(ray_session):
     docs, scores = IndexSearcher(idx).search("w0042", 10)
     assert len(docs) == 0
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_top_terms_fallback_exact_under_tiny_sketch(ray_session,
+                                                    monkeypatch):
+    """Review fix: with a sketch too small to certify the candidate set
+    (every batch truncates heavily), top_terms must detect the failed
+    soundness bound and fall back to the exact full-vocabulary count —
+    the result must STILL equal the SQL oracle."""
+    import duckdb
+    import pandas as pd
+
+    from open_source_search_engine_ray.pipelines import text_analysis as T
+
+    SF = "/root/testdata/sf0.001"
+    monkeypatch.setattr(T, "MG_CAPACITY", 8)   # force truncation everywhere
+    got = T.top_terms(SF).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(T.top_terms_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["n", "term"], ascending=[False, True])
+           .reset_index(drop=True),
+        want.sort_values(["n", "term"], ascending=[False, True])
+            .reset_index(drop=True),
+        check_dtype=False)
