@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": curation.curate_corpus,
         "curation_report": curation.curation_report,
         "decontaminate": curation.decontaminate,
+        "pii_scan": curation.pii_scan,
+        "pii_redact": curation.pii_redact,
         "embedding_kmeans": similarity.embedding_kmeans,
     }
 
@@ -139,4 +141,6 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": curation.curate_corpus_sql(),
         "curation_report": curation.curation_report_sql(),
         "decontaminate": curation.decontaminate_sql(),
+        "pii_scan": curation.pii_scan_sql(),
+        "pii_redact": curation.pii_redact_sql(),
     }

@@ -365,3 +365,107 @@ FROM sh c JOIN ev ON c.s = ev.s
 WHERE c.doc_id % {EVAL_MOD} <> 0
 GROUP BY 1 ORDER BY 1
 """
+
+
+# RE2-compatible (no backrefs/lookarounds, explicit classes) so Python re
+# and DuckDB's RE2 match identically — the bpe_token_count parity rules
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # (?:...) keeps findall returning whole matches (a capturing group
+    # would make Python findall return the group, breaking the counts)
+    "phone": r"(?:\+?[0-9]{1,3}[-. ])?"
+             r"\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+}
+
+
+def pii_scan(sf_dir: str):
+    """→ (doc_id, n_email, n_phone) for documents containing PII-shaped
+    spans — the detection half of the scrubbing pass a public training
+    corpus runs before release.
+
+    Pure map-side regex scan (compiled once per actor via the closure),
+    no shuffle; emits only hit rows so output is |dirty docs|, not the
+    corpus.  The synthetic corpus is PII-free by construction, so the
+    operator's oracle parity is exercised by the planted-corpus pytest
+    (tests/test_round3.py) in addition to the (empty) driver check.
+    """
+    import re
+
+    pats = {k: re.compile(v) for k, v in PII_PATTERNS.items()}
+
+    def scan(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        out_id, out_e, out_p = [], [], []
+        for i, t in enumerate(b["text"].to_pylist()):
+            t = t or ""
+            ne = len(pats["email"].findall(t))
+            np_ = len(pats["phone"].findall(t))
+            if ne or np_:
+                out_id.append(int(ids[i]))
+                out_e.append(ne)
+                out_p.append(np_)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_email": pa.array(out_e, pa.int64()),
+            "n_phone": pa.array(out_p, pa.int64()),
+        })
+
+    import pandas as pd
+
+    # hit rows only → small; collected so a fully-clean corpus still
+    # yields the declared schema (Ray drops the schema of an all-empty
+    # Dataset).  At corpus scale the same pipeline ends in write_parquet.
+    df = (_read_docs(sf_dir).map_batches(scan, batch_format="pyarrow")
+          .to_pandas())
+    if df.shape[1] == 0:
+        df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                           "n_email": pd.Series([], dtype="int64"),
+                           "n_phone": pd.Series([], dtype="int64")})
+    return df
+
+
+def pii_scan_sql() -> str:
+    em = PII_PATTERNS["email"].replace("'", "''")
+    ph = PII_PATTERNS["phone"].replace("'", "''")
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{em}')) AS n_email,
+       len(regexp_extract_all(text, '{ph}')) AS n_phone
+FROM documents
+WHERE len(regexp_extract_all(text, '{em}')) > 0
+   OR len(regexp_extract_all(text, '{ph}')) > 0
+ORDER BY doc_id
+"""
+
+
+def pii_redact(sf_dir: str):
+    """→ (doc_id, text) with every PII span replaced by its type tag
+    (``<EMAIL>`` / ``<PHONE>``) — the transform half of the scrub; same
+    map-side shape, every doc passes through (rewritten or untouched)."""
+    import re
+
+    pats = [(re.compile(PII_PATTERNS["email"]), "<EMAIL>"),
+            (re.compile(PII_PATTERNS["phone"]), "<PHONE>")]
+
+    def redact(b: pa.Table) -> pa.Table:
+        texts = []
+        for t in b["text"].to_pylist():
+            t = t or ""
+            for pat, tag in pats:
+                t = pat.sub(tag, t)
+            texts.append(t)
+        return pa.table({"doc_id": b["doc_id"],
+                         "text": pa.array(texts, pa.string())})
+
+    return _read_docs(sf_dir).map_batches(redact, batch_format="pyarrow")
+
+
+def pii_redact_sql() -> str:
+    em = PII_PATTERNS["email"].replace("'", "''")
+    ph = PII_PATTERNS["phone"].replace("'", "''")
+    return f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{em}', '<EMAIL>', 'g'),
+                      '{ph}', '<PHONE>', 'g') AS text
+FROM documents ORDER BY doc_id
+"""

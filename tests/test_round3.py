@@ -180,3 +180,49 @@ def test_top_terms_fallback_exact_under_tiny_sketch(ray_session,
         want.sort_values(["n", "term"], ascending=[False, True])
             .reset_index(drop=True),
         check_dtype=False)
+
+
+def test_pii_scan_and_redact_planted_corpus(ray_session, tmp_path):
+    """PII ops against a PLANTED corpus (the synthetic tables are
+    PII-free, so this is the real oracle check): engine == DuckDB on
+    detection counts and redacted text."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from open_source_search_engine_ray.pipelines import curation
+
+    texts = [
+        "contact me at jane.doe+test@example.co.uk or call 555-867-5309",
+        "two mails: a@b.io c.d@e-f.org and +1 (212) 555-0187 x99",
+        "clean document with no sensitive spans at all",
+        "edge@case.museum trailing, phone 1-800-555-12345 overlong",
+        "",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "lang": pa.array(["en"] * 5),
+        "text": pa.array(texts, pa.string()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(tbl, f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    def _pd(res):
+        return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+    for fn, sql in ((curation.pii_scan, curation.pii_scan_sql()),
+                    (curation.pii_redact, curation.pii_redact_sql())):
+        got = (_pd(fn(sf)).sort_values("doc_id")
+               .reset_index(drop=True))
+        want = (con.execute(sql).fetchdf().sort_values("doc_id")
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    scan = _pd(curation.pii_scan(sf))
+    assert len(scan) >= 3                         # planted dirty docs hit
+    red = _pd(curation.pii_redact(sf)).sort_values("doc_id")
+    assert "<EMAIL>" in red["text"].iloc[0] and "<PHONE>" in red["text"].iloc[0]
+    assert red["text"].iloc[2] == texts[2]        # clean doc untouched
