@@ -49,9 +49,37 @@ def _read_docs(sf_dir: str):
                                  columns=["doc_id", "lang", "text"])
 
 
+# Single-entry cache of the materialized curated set, keyed on corpus file
+# identity (path+mtime+size): `curate_corpus`, `curation_report` and
+# `curate_and_write` all need the same result, and the near-dup Jaccard
+# join inside is the pipeline's dominant cost — persist once, reuse.  The
+# materialized set is (doc_id, lang, n_tokens) only — no text — so it
+# stays object-store-sized even at corpus scale; maxsize 1 bounds the
+# object-store pin.
+_CURATED_CACHE: dict = {}
+
+
+def _corpus_key(sf_dir: str):
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return (os.path.abspath(sf_dir), st.st_mtime_ns, st.st_size)
+
+
 def curate_corpus(sf_dir: str):
     """→ (doc_id, lang, n_tokens) of the documents that survive all four
-    curation gates, in corpus order."""
+    curation gates, in corpus order (materialized + cached per corpus)."""
+    key = _corpus_key(sf_dir)
+    hit = _CURATED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    mat = _curate_pipeline(sf_dir).materialize()
+    _CURATED_CACHE.clear()
+    _CURATED_CACHE[key] = mat
+    return mat
+
+
+def _curate_pipeline(sf_dir: str):
     thresholds = {k: int(v * MOD) for k, v in STRATA_RATES.items()}
     default_thr = int(DEFAULT_RATE * MOD)
 
@@ -182,7 +210,8 @@ sampled AS (
 ),
 deduped AS (
   SELECT doc_id, lang, n_tokens FROM sampled
-  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+  QUALIFY row_number() OVER (PARTITION BY md5(COALESCE(text, ''))
+                             ORDER BY doc_id) = 1
 ),
 comp AS ({dedup_clusters_sql().replace('ORDER BY doc_id', '')})
 SELECT k.doc_id, k.lang, k.n_tokens
@@ -208,7 +237,7 @@ def curation_report(sf_dir: str):
 def curation_report_sql() -> str:
     return f"""
 WITH kept AS ({curate_corpus_sql().replace('ORDER BY k.doc_id', '')})
-SELECT lang, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
 FROM kept GROUP BY lang ORDER BY lang
 """
 
@@ -227,6 +256,16 @@ def curate_and_write(sf_dir: str, out_dir: str) -> dict:
 
     Returns {"written": [...], "skipped": [...]} shard names.
 
+    Scale shape: the curated rows NEVER land on the driver — each shard
+    is written by the ``map_groups`` worker that holds that shard's
+    group (one groupby co-partition, then a parallel fan of tmp-then-
+    rename commits).  On a multi-node cluster ``out_dir`` must be shared
+    storage (NFS/S3), the same contract as every distributed writer.
+    A shard the curated set leaves EMPTY (including a fully-empty
+    corpus, where Ray drops the dataset schema entirely) is committed
+    from the driver as a zero-row typed parquet, so readers always find
+    ``part=p/data.parquet`` with the declared schema.
+
     Resume economics: committed shards are skipped without any work, but
     the curation PIPELINE recomputes for the missing shards — the shard
     predicate cannot push below the dedup shuffles because exact-dedup
@@ -239,6 +278,9 @@ def curate_and_write(sf_dir: str, out_dir: str) -> dict:
 
     import pyarrow.parquet as pq
 
+    out_schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                            ("n_tokens", pa.int64())])
+
     written, skipped = [], []
     todo = []
     for p in range(N_OUT_PARTS):
@@ -249,20 +291,40 @@ def curate_and_write(sf_dir: str, out_dir: str) -> dict:
             todo.append(p)
     if todo:
         todo_set = np.asarray(sorted(todo), dtype=np.int64)
-        kept = curate_corpus(sf_dir).map_batches(
-            lambda b: b.filter(pa.array(np.isin(
-                b["doc_id"].to_numpy() % N_OUT_PARTS, todo_set))),
-            batch_format="pyarrow")
-        tbl = pa.table(kept.to_pandas())  # post-curation: small per shard
-        parts = tbl["doc_id"].to_numpy() % N_OUT_PARTS
-        for p in todo:
+
+        def tag(b: pa.Table) -> pa.Table:
+            part = b["doc_id"].to_numpy() % N_OUT_PARTS
+            keep = np.isin(part, todo_set)
+            return (b.append_column("part", pa.array(part, pa.int64()))
+                    .filter(pa.array(keep)))
+
+        def write_shard(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table({"part": pa.array([], pa.int64())})
+            p = int(g["part"][0].as_py())
             part_dir = os.path.join(out_dir, f"part={p}")
             os.makedirs(part_dir, exist_ok=True)
             tmp = os.path.join(part_dir, "data.parquet.tmp")
-            pq.write_table(tbl.filter(pa.array(parts == p)), tmp)
+            pq.write_table(g.drop_columns(["part"]).cast(out_schema), tmp)
             os.replace(tmp, os.path.join(part_dir, "data.parquet"))
             with open(os.path.join(part_dir, "_SUCCESS"), "w"):
                 pass
+            return pa.table({"part": pa.array([p], pa.int64())})
+
+        (curate_corpus(sf_dir)
+         .map_batches(tag, batch_format="pyarrow")
+         .groupby("part")
+         .map_groups(write_shard, batch_format="pyarrow")
+         .count())                       # drain the stream; rows stay remote
+        for p in todo:                   # commit shards the corpus left empty
+            part_dir = os.path.join(out_dir, f"part={p}")
+            if not os.path.exists(os.path.join(part_dir, "_SUCCESS")):
+                os.makedirs(part_dir, exist_ok=True)
+                tmp = os.path.join(part_dir, "data.parquet.tmp")
+                pq.write_table(out_schema.empty_table(), tmp)
+                os.replace(tmp, os.path.join(part_dir, "data.parquet"))
+                with open(os.path.join(part_dir, "_SUCCESS"), "w"):
+                    pass
             written.append(f"part={p}")
     return {"written": written, "skipped": skipped}
 
@@ -383,40 +445,35 @@ def pii_scan(sf_dir: str):
     spans — the detection half of the scrubbing pass a public training
     corpus runs before release.
 
-    Pure map-side regex scan (compiled once per actor via the closure),
-    no shuffle; emits only hit rows so output is |dirty docs|, not the
-    corpus.  The synthetic corpus is PII-free by construction, so the
-    operator's oracle parity is exercised by the planted-corpus pytest
-    (tests/test_round3.py) in addition to the (empty) driver check.
+    Pure map-side scan via Arrow's RE2 kernels
+    (``pc.count_substring_regex`` over the whole column — no per-row
+    Python loop), no shuffle; emits only hit rows so output is
+    |dirty docs|, not the corpus.  Arrow and DuckDB both run RE2, so the
+    engine matches the oracle's regex semantics by construction.  The
+    synthetic corpus is PII-free, so oracle parity is exercised by the
+    planted-corpus pytest (tests/test_round3.py) in addition to the
+    (empty) driver check.
     """
-    import re
-
-    pats = {k: re.compile(v) for k, v in PII_PATTERNS.items()}
 
     def scan(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy()
-        out_id, out_e, out_p = [], [], []
-        for i, t in enumerate(b["text"].to_pylist()):
-            t = t or ""
-            ne = len(pats["email"].findall(t))
-            np_ = len(pats["phone"].findall(t))
-            if ne or np_:
-                out_id.append(int(ids[i]))
-                out_e.append(ne)
-                out_p.append(np_)
+        # NULL text counts as clean (engine coalesces None -> '')
+        text = pc.fill_null(b["text"], "")
+        ne = pc.count_substring_regex(text, PII_PATTERNS["email"])
+        np_ = pc.count_substring_regex(text, PII_PATTERNS["phone"])
+        hit = pc.or_(pc.greater(ne, 0), pc.greater(np_, 0))
         return pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "n_email": pa.array(out_e, pa.int64()),
-            "n_phone": pa.array(out_p, pa.int64()),
+            "doc_id": b["doc_id"].filter(hit),
+            "n_email": pc.cast(ne.filter(hit), pa.int64()),
+            "n_phone": pc.cast(np_.filter(hit), pa.int64()),
         })
 
+    # Hit rows stay a streaming Dataset at corpus scale (end it in
+    # write_parquet); only the declared-schema guard for a fully-clean
+    # corpus collects (Ray drops the schema of an all-empty Dataset).
     import pandas as pd
 
-    # hit rows only → small; collected so a fully-clean corpus still
-    # yields the declared schema (Ray drops the schema of an all-empty
-    # Dataset).  At corpus scale the same pipeline ends in write_parquet.
-    df = (_read_docs(sf_dir).map_batches(scan, batch_format="pyarrow")
-          .to_pandas())
+    ds = _read_docs(sf_dir).map_batches(scan, batch_format="pyarrow")
+    df = ds.to_pandas()
     if df.shape[1] == 0:
         df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                            "n_email": pd.Series([], dtype="int64"),
@@ -429,11 +486,13 @@ def pii_scan_sql() -> str:
     ph = PII_PATTERNS["phone"].replace("'", "''")
     return f"""
 SELECT doc_id,
-       len(regexp_extract_all(text, '{em}')) AS n_email,
-       len(regexp_extract_all(text, '{ph}')) AS n_phone
+       len(regexp_extract_all(COALESCE(text, ''), '{em}'))::BIGINT
+         AS n_email,
+       len(regexp_extract_all(COALESCE(text, ''), '{ph}'))::BIGINT
+         AS n_phone
 FROM documents
-WHERE len(regexp_extract_all(text, '{em}')) > 0
-   OR len(regexp_extract_all(text, '{ph}')) > 0
+WHERE len(regexp_extract_all(COALESCE(text, ''), '{em}')) > 0
+   OR len(regexp_extract_all(COALESCE(text, ''), '{ph}')) > 0
 ORDER BY doc_id
 """
 
@@ -441,21 +500,18 @@ ORDER BY doc_id
 def pii_redact(sf_dir: str):
     """→ (doc_id, text) with every PII span replaced by its type tag
     (``<EMAIL>`` / ``<PHONE>``) — the transform half of the scrub; same
-    map-side shape, every doc passes through (rewritten or untouched)."""
-    import re
-
-    pats = [(re.compile(PII_PATTERNS["email"]), "<EMAIL>"),
-            (re.compile(PII_PATTERNS["phone"]), "<PHONE>")]
+    map-side shape, every doc passes through (rewritten or untouched).
+    Arrow RE2 column kernels (``pc.replace_substring_regex``) — no
+    per-row Python loop, and RE2 semantics match the DuckDB oracle by
+    construction."""
 
     def redact(b: pa.Table) -> pa.Table:
-        texts = []
-        for t in b["text"].to_pylist():
-            t = t or ""
-            for pat, tag in pats:
-                t = pat.sub(tag, t)
-            texts.append(t)
-        return pa.table({"doc_id": b["doc_id"],
-                         "text": pa.array(texts, pa.string())})
+        text = pc.fill_null(b["text"], "")   # None -> '' (oracle COALESCEs)
+        text = pc.replace_substring_regex(
+            text, PII_PATTERNS["email"], "<EMAIL>")
+        text = pc.replace_substring_regex(
+            text, PII_PATTERNS["phone"], "<PHONE>")
+        return pa.table({"doc_id": b["doc_id"], "text": text})
 
     return _read_docs(sf_dir).map_batches(redact, batch_format="pyarrow")
 
@@ -465,7 +521,8 @@ def pii_redact_sql() -> str:
     ph = PII_PATTERNS["phone"].replace("'", "''")
     return f"""
 SELECT doc_id,
-       regexp_replace(regexp_replace(text, '{em}', '<EMAIL>', 'g'),
+       regexp_replace(regexp_replace(COALESCE(text, ''), '{em}',
+                                     '<EMAIL>', 'g'),
                       '{ph}', '<PHONE>', 'g') AS text
 FROM documents ORDER BY doc_id
 """

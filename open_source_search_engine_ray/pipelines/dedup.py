@@ -76,6 +76,105 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+_TARGET_GROUP_BYTES = 64 << 20   # co-partition group size target
+
+
+def _nbuckets(sf_dir: str) -> int:
+    """Bucket fan for the co-partition stages, sized from the corpus
+    parquet footprint so one bucket group (exploded shingle rows / blob
+    payloads) stays well inside a worker heap; floor keeps small corpora
+    parallel, cap bounds shuffle metadata.  This is the memory knob that
+    scales the pipeline: at 100 TB the same formula yields ~10^4-10^5
+    buckets, each an independently-processed group."""
+    import os
+
+    sz = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    # decompressed + exploded payload runs ~8x the parquet bytes
+    return int(max(64, min(1 << 17, (sz * 8) // _TARGET_GROUP_BYTES + 1)))
+
+
+def _attach_blobs(cand, cand_schema: pa.Schema, key_col: str, sets,
+                  suffix: str, nbuckets: int):
+    """Equi-join ``cand ⋈ sets ON cand[key_col] == sets.doc_id`` carrying
+    the (shs, n) blob columns, as a union-tag co-partition: both sides
+    bucket on the key, one groupby co-locates each key's rows, and the
+    group kernel resolves cand rows against a sorted set-row lookup
+    (np.searchsorted + Arrow take — fully vectorized).  Inner-join
+    semantics: cand rows whose key has no set row are dropped.  Replaces
+    ``Dataset.join``, which crashes on any empty hash partition.
+    ``cand_schema`` is passed explicitly because an all-empty Dataset
+    reports ``schema() is None``."""
+    names = list(cand_schema.names)
+    types = list(cand_schema.types)
+    shs_col, n_col = f"shs{suffix}", f"n{suffix}"
+    out_names = names + [shs_col, n_col]
+    out_schema = pa.schema(list(zip(names, types)) +
+                           [(shs_col, pa.binary()), (n_col, pa.int64())])
+    tag_schema = pa.schema([("bucket", pa.int64())] +
+                           list(zip(names, types)) +
+                           [(shs_col, pa.binary()), (n_col, pa.int64()),
+                            ("_isset", pa.int64())])
+
+    def tag_cand(b: pa.Table) -> pa.Table:
+        b = _retype(pa.schema(list(zip(names, types))))(b)
+        m = b.num_rows
+        cols = {"bucket": pa.array(
+            b[key_col].to_numpy() % nbuckets, pa.int64())}
+        for c in names:
+            cols[c] = b[c]
+        cols[shs_col] = pa.nulls(m, pa.binary())
+        cols[n_col] = pa.array(np.full(m, -1, np.int64))
+        cols["_isset"] = pa.array(np.zeros(m, np.int64))
+        return pa.table(cols).cast(tag_schema)
+
+    def tag_sets(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        cols = {"bucket": pa.array(ids % nbuckets, pa.int64())}
+        for c, t in zip(names, types):
+            cols[c] = (pa.array(ids, pa.int64()) if c == key_col
+                       else pa.nulls(len(ids), t))
+        cols[shs_col] = b["shs"]
+        cols[n_col] = b["n"]
+        cols["_isset"] = pa.array(np.ones(len(ids), np.int64))
+        return pa.table(cols).cast(tag_schema)
+
+    def attach(g: pa.Table) -> pa.Table:
+        isset = g["_isset"].to_numpy()
+        set_rows = np.flatnonzero(isset == 1)
+        cand_rows = np.flatnonzero(isset == 0)
+        if len(cand_rows) == 0 or len(set_rows) == 0:
+            return out_schema.empty_table()
+        keys = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(keys[set_rows])
+        sid_s = keys[set_rows][order]
+        ck = keys[cand_rows]
+        pos = np.minimum(np.searchsorted(sid_s, ck), len(sid_s) - 1)
+        found = sid_s[pos] == ck
+        cand_keep = cand_rows[found]
+        take_set = set_rows[order[pos[found]]]
+        cols = {c: g[c].take(pa.array(cand_keep)) for c in names}
+        cols[shs_col] = g[shs_col].take(pa.array(take_set))
+        cols[n_col] = g[n_col].take(pa.array(take_set))
+        return pa.table(cols).cast(out_schema)
+
+    tagged = (cand.map_batches(tag_cand, batch_format="pyarrow")
+              .union(sets.map_batches(tag_sets, batch_format="pyarrow")))
+    return (tagged.groupby("bucket")
+            .map_groups(attach, batch_format="pyarrow")
+            .map_batches(_retype(out_schema), batch_format="pyarrow"))
+
+
+def _retype(schema: pa.Schema):
+    """Batch-level guard for Ray's schema-less empty blocks: a groupby /
+    aggregate whose hash partition holds zero rows emits a ZERO-COLUMN
+    block, which crashes any downstream ``Dataset.join`` ("No match for
+    FieldRef ... on right side").  Re-typing the empties restores the
+    declared schema; non-empty batches pass through zero-copy."""
+    def fix(b: pa.Table) -> pa.Table:
+        return schema.empty_table() if b.num_columns == 0 else b
+    return fix
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard near-dup pairs (shared-shingle join)
 # ---------------------------------------------------------------------------
@@ -138,8 +237,8 @@ _T = JACCARD_THRESHOLD
 _EMPTY_PAIRS = {"doc_a": np.int64, "doc_b": np.int64}
 
 
-def _positional_filtered_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one prefix-shingle group, pruned by the
+def _run_pairs(docs: np.ndarray, n: np.ndarray, rem: np.ndarray):
+    """Candidate pairs within one prefix-shingle run, pruned by the
     PPJoin positional filter: a pair (A, B) sharing this shingle at
     positions (p_A, p_B) of their df-sorted orders can reach |A∩B| ≥
     α = ⌈t/(1+t)·(|A|+|B|)⌉ only if min(|A|-p_A, |B|-p_B) ≥ α — the bound
@@ -148,12 +247,8 @@ def _positional_filtered_pairs(group: pa.Table) -> pa.Table:
     groups (hot shingle in every prefix, short unique tails) collapse to
     zero BEFORE any O(n²) pair materialization: first a per-doc filter
     (rem_i ≥ α against the group's smallest partner), then the pairwise
-    mask inside blocked triu generation."""
-    docs = group["doc_id"].to_numpy()
-    n = group["n"].to_numpy().astype(np.int64)
-    rem = n - group["p"].to_numpy().astype(np.int64)
-    empty = pa.table({"doc_a": pa.array([], pa.int64()),
-                      "doc_b": pa.array([], pa.int64())})
+    mask inside blocked triu generation.  Returns (a, b) int64 arrays."""
+    empty = (np.array([], np.int64), np.array([], np.int64))
     if len(docs) < 2:
         return empty
     # per-doc necessary condition vs the group's most favorable partner
@@ -186,8 +281,45 @@ def _positional_filtered_pairs(group: pa.Table) -> pa.Table:
             outs_b.append(docs[jj[ok]])
     a = np.concatenate(outs_a)
     b = np.concatenate(outs_b)
-    return pa.table({"doc_a": pa.array(np.minimum(a, b), pa.int64()),
-                     "doc_b": pa.array(np.maximum(a, b), pa.int64())})
+    return np.minimum(a, b), np.maximum(a, b)
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    """Candidate pairs for ONE shingle-hash bucket (all prefix rows whose
+    ``sh`` hashes into it — every occurrence of a given shingle lands in
+    the same bucket, so multi-occupancy detection is exact).  Sorting the
+    bucket once and run-length-segmenting it replaces the old
+    pdf-aggregate + left-semi-join + per-shingle ``map_groups`` chain:
+    one shuffle instead of three, singleton shingles eliminated by a
+    vectorized mask instead of a join, and the per-run Python loop only
+    ever touches multi-occupancy shingles."""
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+    if group.num_rows < 2:
+        return empty
+    sh = group["sh"].to_numpy()
+    docs = group["doc_id"].to_numpy()
+    n = group["n"].to_numpy().astype(np.int64)
+    rem = n - group["p"].to_numpy().astype(np.int64)
+    order = np.argsort(sh, kind="stable")
+    sh, docs, n, rem = sh[order], docs[order], n[order], rem[order]
+    # run boundaries; keep only runs of length >= 2 (vectorized)
+    bound = np.flatnonzero(np.concatenate(
+        [[True], sh[1:] != sh[:-1], [True]]))
+    lens = np.diff(bound)
+    multi = np.flatnonzero(lens >= 2)
+    outs_a, outs_b = [], []
+    for r in multi:
+        s, e = int(bound[r]), int(bound[r + 1])
+        a, b = _run_pairs(docs[s:e], n[s:e], rem[s:e])
+        if len(a):
+            outs_a.append(a)
+            outs_b.append(b)
+    if not outs_a:
+        return empty
+    return pa.table({
+        "doc_a": pa.array(np.concatenate(outs_a), pa.int64()),
+        "doc_b": pa.array(np.concatenate(outs_b), pa.int64())})
 
 
 def ngram_jaccard_pairs(sf_dir: str):
@@ -213,11 +345,14 @@ def ngram_jaccard_pairs(sf_dir: str):
     """
     from ray.data.aggregate import Count
 
-    # one hash-join operator per execution plan: Ray Data's join holds an
-    # aggregator actor pool for the whole plan, and two join operators in
-    # one streaming execution starve each other below ~8 CPUs — so join
-    # inputs/outputs are materialized (spillable, same data the shuffle
-    # would pin anyway)
+    # NO Dataset.join anywhere: Ray's join operator crashes when a hash
+    # partition receives zero blocks on either side (the partition builds
+    # as a schema-less table and pyarrow raises "No match for FieldRef"),
+    # which any small or key-skewed input triggers.  Every equi-join here
+    # is the union-tag co-partition pattern instead (one groupby shuffle,
+    # group kernel does a vectorized sorted lookup) — same data movement
+    # as the hash join, none of its empty-partition fragility, and no
+    # join aggregator actor pool competing with the rest of the plan.
     #
     # Prefix ordering uses an APPROXIMATE df sketch instead of an exact
     # per-shingle df join: prefix-filter EXACTNESS needs only a total
@@ -230,6 +365,7 @@ def ngram_jaccard_pairs(sf_dir: str):
     sketch = _df_sketch(sf_dir)
     import ray
     sketch_ref = ray.put(sketch)
+    nb = _nbuckets(sf_dir)
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
         sk = ray.get(sketch_ref)
@@ -253,41 +389,37 @@ def ngram_jaccard_pairs(sf_dir: str):
             out_p.append(np.arange(plen, dtype=np.int64))
             out_n.append(np.full(plen, n, dtype=np.int64))
         if not out_sh:
-            return pa.table({"sh": pa.array([], pa.int64()),
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64()),
                              "p": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
+        sh_all = np.concatenate(out_sh)
         return pa.table({
-            "sh": pa.array(np.concatenate(out_sh), pa.int64()),
+            "bucket": pa.array(sh_all % nb, pa.int64()),
+            "sh": pa.array(sh_all, pa.int64()),
             "doc_id": pa.array(np.concatenate(out_doc)),
             "p": pa.array(np.concatenate(out_p)),
             "n": pa.array(np.concatenate(out_n))})
 
-    prefixes = _read_docs(sf_dir).map_batches(
-        prefix_rows, batch_format="pyarrow").materialize()
-    # most prefix shingles occur in exactly one doc → no pairs; drop them
-    # BEFORE the per-group pairing stage with a vectorized count + semi
-    # join, so map_groups only ever sees multi-occupancy groups
-    pdf = prefixes.groupby("sh").aggregate(
-        Count(alias_name="pdf")).materialize()
-
-    def _multi(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return b.filter(pc.greater_equal(b["pdf"], 2))
-
-    multi = pdf.map_batches(_multi, batch_format="pyarrow").materialize()
-    shared = prefixes.join(multi, "left_semi", JOIN_PARTITIONS,
-                           on=("sh",)).materialize()
-    cand = (shared.groupby("sh")
-            .map_groups(_positional_filtered_pairs, batch_format="pyarrow")
+    # candidate pairs in ONE shuffle: co-locate each shingle's prefix
+    # rows by bucket, segment runs inside the bucket (see _bucket_pairs)
+    cand = (_read_docs(sf_dir)
+            .map_batches(prefix_rows, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(_bucket_pairs, batch_format="pyarrow")
             .groupby(["doc_a", "doc_b"])
-            .aggregate(Count(alias_name="_nb")).materialize())
+            .aggregate(Count(alias_name="_nb"))
+            .map_batches(_retype(pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                 ("_nb", pa.int64())])), batch_format="pyarrow")
+            .materialize())
 
     def set_rows(batch: pa.Table) -> pa.Table:
         # per-doc sorted shingle-hash blobs straight from the document
         # scan (re-shingling is cheap CPU; a groupby(doc) shuffle + one
-        # Python call per doc is not).  The set rides through the hash
-        # join as a binary blob (Arrow's join doesn't take list payloads).
+        # Python call per doc is not).  The set rides through the
+        # co-partition as a binary blob.
         ids, blobs, ns = [], [], []
         for d, t in zip(batch["doc_id"].to_numpy(),
                         batch["text"].to_pylist()):
@@ -306,12 +438,14 @@ def ngram_jaccard_pairs(sf_dir: str):
 
     sets = _read_docs(sf_dir).map_batches(
         set_rows, batch_format="pyarrow").materialize()
-    j1 = cand.join(sets, "inner", JOIN_PARTITIONS,
-                   on=("doc_a",), right_on=("doc_id",),
-                   right_suffix="_a").materialize()
-    j2 = j1.join(sets, "inner", JOIN_PARTITIONS,
-                 on=("doc_b",), right_on=("doc_id",),
-                 right_suffix="_b")
+    _cand_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                              ("_nb", pa.int64())])
+    _j1_schema = pa.schema(list(_cand_schema) +
+                           [pa.field("shs_a", pa.binary()),
+                            pa.field("n_a", pa.int64())])
+    j1 = _attach_blobs(cand, _cand_schema, "doc_a", sets,
+                       "_a", nb).materialize()
+    j2 = _attach_blobs(j1, _j1_schema, "doc_b", sets, "_b", nb)
 
     def verify(batch: pa.Table) -> pa.Table:
         # vectorized exact verify for a whole batch of candidate pairs:
@@ -412,26 +546,74 @@ def label_propagation_components(pairs_ds, max_rounds: int = 4096):
         }), batch_format="pyarrow").materialize()
     if edges.count() == 0:
         return None
+    _lbl_schema = pa.schema([("doc_id", pa.int64()),
+                             ("cluster_id", pa.int64())])
+
+    def _seed(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return _lbl_schema.empty_table()
+        return pa.table({
+            "doc_id": pa.array(b["src"].to_numpy().astype(np.int64)),
+            "cluster_id": pa.array(np.minimum(
+                b["src"].to_numpy(),
+                b["_m"].to_numpy()).astype(np.int64)),
+        })
+
     labels = (edges.groupby("src").aggregate(Min("dst", alias_name="_m"))
-              .map_batches(lambda b: pa.table({
-                  "doc_id": pa.array(b["src"].to_numpy().astype(np.int64)),
-                  "cluster_id": pa.array(np.minimum(
-                      b["src"].to_numpy(),
-                      b["_m"].to_numpy()).astype(np.int64)),
-              }), batch_format="pyarrow").materialize())
+              .map_batches(_seed, batch_format="pyarrow").materialize())
+    # per-round neighbor messages: edges ⋈ labels ON src == doc_id as a
+    # union-tag co-partition (bucket on the key, vectorized sorted lookup
+    # in the group kernel) — see _attach_blobs for why Dataset.join is
+    # avoided.  Every src is guaranteed a label (labels are seeded from
+    # the same edge set), so the lookup is total.
+    def _tag_edges(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy().astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(src % JOIN_PARTITIONS, pa.int64()),
+            "key": pa.array(src), "dst": b["dst"],
+            "lbl": pa.array(np.full(len(src), -1, np.int64))})
+
+    def _tag_labels(b: pa.Table) -> pa.Table:
+        b = _retype(_lbl_schema)(b)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(ids % JOIN_PARTITIONS, pa.int64()),
+            "key": pa.array(ids),
+            "dst": pa.array(np.full(len(ids), -1, np.int64)),
+            "lbl": b["cluster_id"]})
+
+    def _propagate(g: pa.Table) -> pa.Table:
+        lbl = g["lbl"].to_numpy()
+        lab_rows = np.flatnonzero(lbl >= 0)
+        edge_rows = np.flatnonzero(lbl < 0)
+        if len(edge_rows) == 0 or len(lab_rows) == 0:
+            return _lbl_schema.empty_table()
+        keys = g["key"].to_numpy()
+        order = np.argsort(keys[lab_rows])
+        kid_s = keys[lab_rows][order]
+        ek = keys[edge_rows]
+        pos = np.minimum(np.searchsorted(kid_s, ek), len(kid_s) - 1)
+        found = kid_s[pos] == ek
+        er = edge_rows[found]
+        lr = lab_rows[order[pos[found]]]
+        return pa.table({
+            "doc_id": pa.array(g["dst"].to_numpy()[er].astype(np.int64)),
+            "cluster_id": pa.array(lbl[lr].astype(np.int64))})
+
+    edges_tagged = edges.map_batches(
+        _tag_edges, batch_format="pyarrow").materialize()
     prev_sum = None
     converged = False
     for _ in range(max_rounds):
-        msgs = (edges.join(labels, "inner", JOIN_PARTITIONS,
-                           on=("src",), right_on=("doc_id",))
-                .map_batches(lambda b: pa.table({
-                    "doc_id": pa.array(b["dst"].to_numpy()
-                                       .astype(np.int64)),
-                    "cluster_id": pa.array(b["cluster_id"].to_numpy()
-                                           .astype(np.int64)),
-                }), batch_format="pyarrow"))
+        msgs = (edges_tagged
+                .union(labels.map_batches(_tag_labels,
+                                          batch_format="pyarrow"))
+                .groupby("bucket")
+                .map_groups(_propagate, batch_format="pyarrow"))
         labels = (labels.union(msgs).groupby("doc_id")
                   .aggregate(Min("cluster_id", alias_name="cluster_id"))
+                  .map_batches(_retype(_lbl_schema),
+                               batch_format="pyarrow")
                   .materialize())
         cur = labels.aggregate(Sum("cluster_id", alias_name="s"))["s"]
         if cur == prev_sum:

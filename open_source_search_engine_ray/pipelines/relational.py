@@ -564,8 +564,8 @@ WITH clicks AS (SELECT event_id, user_id, ts FROM events
                        CAST(ROUND(value * 100) AS BIGINT) AS cents
                 FROM events WHERE event_type = 'view')
 SELECT c.event_id AS event_id, c.user_id AS user_id,
-       count(v.ts) AS n_views_10m,
-       COALESCE(sum(v.cents), 0) AS view_cents_10m
+       count(v.ts)::BIGINT AS n_views_10m,
+       COALESCE(sum(v.cents), 0)::BIGINT AS view_cents_10m
 FROM clicks c LEFT JOIN views v
   ON v.user_id = c.user_id
  AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 10 MINUTE
@@ -787,9 +787,15 @@ def events_value_quantiles(sf_dir: str):
     hist = (ds.map_batches(cents, batch_format="pyarrow")
             .groupby("c").aggregate(Count(alias_name="n"))
             .to_pandas())
+    if len(hist) == 0 or "c" not in hist.columns:
+        # empty table (Ray drops the schema of an all-empty dataset):
+        # the oracle's JOIN yields zero rows too
+        return pd.DataFrame({
+            "quantile": pd.Series([], dtype=np.float64),
+            "value": pd.Series([], dtype=np.float64)})
     hist = hist.sort_values("c").reset_index(drop=True)
     cum = hist["n"].to_numpy().cumsum()
-    n = int(cum[-1]) if len(cum) else 0
+    n = int(cum[-1])
     out_q, out_v = [], []
     for q in QUANTILES:
         rank = max(1, int(np.ceil(q * n)))          # 1-based discrete rank

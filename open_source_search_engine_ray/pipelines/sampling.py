@@ -205,11 +205,12 @@ packed AS (
   SELECT doc_id, doc_id % {PACK_PARTS} AS part, n_tokens,
          COALESCE(SUM(n_tokens) OVER (
              PARTITION BY doc_id % {PACK_PARTS} ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS prev
   FROM toks
 )
 SELECT doc_id, part,
-       part * {1 << 32} + prev // {PACK_BUDGET} AS bin_id,
-       prev % {PACK_BUDGET} AS bin_offset
+       (part * {1 << 32} + prev // {PACK_BUDGET})::BIGINT AS bin_id,
+       (prev % {PACK_BUDGET})::BIGINT AS bin_offset
 FROM packed ORDER BY doc_id
 """

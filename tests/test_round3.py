@@ -199,10 +199,11 @@ def test_pii_scan_and_redact_planted_corpus(ray_session, tmp_path):
         "clean document with no sensitive spans at all",
         "edge@case.museum trailing, phone 1-800-555-12345 overlong",
         "",
+        None,  # NULL text: engine coalesces to '', SQL COALESCEs too
     ]
     tbl = pa.table({
-        "doc_id": pa.array(list(range(5)), pa.int64()),
-        "lang": pa.array(["en"] * 5),
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "lang": pa.array(["en"] * 6),
         "text": pa.array(texts, pa.string()),
     })
     sf = str(tmp_path)

@@ -1,0 +1,112 @@
+"""Round-4 regression tests: NULL-text curation parity, empty-corpus
+resumable writer, empty-events quantiles, curated-set cache reuse."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pd(res):
+    return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+
+def test_curate_corpus_null_vs_empty_text(ray_session, tmp_path):
+    """A corpus holding BOTH a NULL-text and an empty-text doc must dedup
+    identically in the engine and the oracle: the engine coalesces None
+    to '' (md5('') group) and the SQL now COALESCEs too, so the two docs
+    share one md5 group and only the min doc_id survives."""
+    import duckdb
+
+    from open_source_search_engine_ray.pipelines import curation
+
+    # ids 0,2,4,5,7,10,12 all pass the en sampling gate (knuth < 0.5)
+    texts = {
+        0: None,                                       # NULL text
+        2: "",                                         # empty text
+        4: "zephyr quixotic bramble ostensible juniper marigold",
+        5: "verbatim duplicated paragraph alpha bravo charlie delta",
+        7: "verbatim duplicated paragraph alpha bravo charlie delta",
+        10: "completely distinct content about orbital mechanics today",
+        12: "final standalone document covering rhubarb cultivation",
+    }
+    ids = sorted(texts)
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "lang": pa.array(["en"] * len(ids)),
+        "text": pa.array([texts[i] for i in ids], pa.string()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(tbl, f"{sf}/documents.parquet")
+
+    got = (_pd(curation.curate_corpus(sf))
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(curation.curate_corpus_sql()).fetchdf()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    kept = set(got["doc_id"])
+    assert 0 in kept and 2 not in kept     # NULL + '' collapse to one keeper
+    assert 5 in kept and 7 not in kept     # verbatim pair deduped
+
+
+def test_curate_and_write_empty_corpus(ray_session, tmp_path):
+    """A corpus curating down to ZERO rows (here: zero input docs, where
+    Ray drops the dataset schema entirely) must still commit every shard
+    as a zero-row parquet with the declared schema — no KeyError."""
+    from open_source_search_engine_ray.pipelines import curation
+
+    sf = str(tmp_path / "corpus")
+    os.makedirs(sf)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "lang": pa.array([], pa.string()),
+                      "text": pa.array([], pa.string())})
+    pq.write_table(empty, f"{sf}/documents.parquet")
+
+    out = str(tmp_path / "curated")
+    r = curation.curate_and_write(sf, out)
+    assert len(r["written"]) == curation.N_OUT_PARTS
+    for p in range(curation.N_OUT_PARTS):
+        t = pq.read_table(os.path.join(out, f"part={p}", "data.parquet"))
+        assert t.num_rows == 0
+        assert t.schema.names == ["doc_id", "lang", "n_tokens"]
+
+
+def test_events_value_quantiles_empty(ray_session, tmp_path):
+    """Zero-row events table: the quantile pipeline returns an empty
+    (quantile, value) frame instead of IndexError-ing on the empty
+    histogram — matching the oracle's empty JOIN result."""
+    from open_source_search_engine_ray.pipelines import relational
+
+    sf = str(tmp_path)
+    empty = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "value": pa.array([], pa.float64()),
+    })
+    pq.write_table(empty, f"{sf}/events.parquet")
+    out = _pd(relational.events_value_quantiles(sf))
+    assert list(out.columns) == ["quantile", "value"]
+    assert len(out) == 0
+
+
+def test_curated_cache_reuse(ray_session):
+    """curation_report must reuse the materialized curated set instead of
+    re-running the Jaccard join: same object back from the cache."""
+    from open_source_search_engine_ray.pipelines import curation
+
+    a = curation.curate_corpus(SF)
+    b = curation.curate_corpus(SF)
+    assert a is b
+    rep = _pd(curation.curation_report(SF))
+    assert {"lang", "n_docs", "sum_tokens"} <= set(rep.columns)
