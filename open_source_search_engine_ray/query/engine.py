@@ -35,6 +35,31 @@ from .kernel import TermPostings, evaluate
 from .parse import ParsedQuery, parse_query
 
 
+def _truncate_postings(tp: TermPostings,
+                       max_bytes: int) -> tuple[TermPostings, bool]:
+    """Cap a decoded list to its first-N postings (docId order) whose
+    array payload fits ``max_bytes`` — the per-termlist read cap of the
+    reference (``PosdbTable.cpp:1975-1981``, ~30 MB key-ordered
+    truncation).  Returns ``(list, truncated?)``; never mutates the
+    cached object."""
+    per_row = (tp.doc_ids.itemsize + tp.dl.itemsize
+               + tp.tfs.itemsize * tp.tfs.shape[1])
+    n_keep = max(1, max_bytes // per_row)
+    if n_keep >= len(tp.doc_ids):
+        return tp, False
+    positions = None
+    if tp.positions is not None:
+        from ..functions.ragged import ragged_select
+
+        flat, offs = tp.positions
+        positions = ragged_select(flat, offs,
+                                  np.arange(n_keep, dtype=np.int64))
+    return TermPostings(
+        doc_ids=tp.doc_ids[:n_keep], tfs=tp.tfs[:n_keep],
+        dl=tp.dl[:n_keep], df=int(n_keep), positions=positions,
+        block_max=None), True
+
+
 class _GenIndex:
     """Readers + hot map for one generation directory."""
 
@@ -198,8 +223,17 @@ class IndexSearcher:
                field_weights: tuple | None = None,
                lang: str = "en", rerank: str | None = None,
                oversample: int = 4,
-               wiki_bigrams: frozenset | None = None):
+               wiki_bigrams: frozenset | None = None,
+               doc_prior=None):
         """→ (doc_ids, scores) exact BM25F top-k.
+
+        ``doc_prior`` is an optional ``(sorted_doc_ids uint64,
+        multipliers float64)`` static per-document prior (e.g. a quality
+        score): final score = BM25F × multiplier, missing docs get 1.0 —
+        the SiteRank / doc-flag score-multiplier analogue
+        (``PosdbTable.cpp:3686-3693,3901-3941``).  Pruned plans are
+        bypassed when a prior is active (their bounds don't include it);
+        results stay oracle-shared via the common kernel.
 
         ``rerank="proximity"`` applies the term-pair min-distance boost
         over the top-(oversample·k) BM25F page
@@ -252,7 +286,57 @@ class IndexSearcher:
                                    cfg, k, prune=prune,
                                    oversample=oversample)
         return evaluate(pq_, lists, self.n_docs, self.avgdl, cfg, k,
-                        prune=prune)
+                        prune=prune, prior=doc_prior)
+
+    def search_budgeted(self, query: str, k: int = 10,
+                        timeout_ms: float | None = None,
+                        max_list_bytes: int | None = None,
+                        lang: str = "en"):
+        """Budgeted search → ``(doc_ids, scores, partial)``.
+
+        The reference caps every query two ways: a deadline that returns
+        PARTIAL results when the docid-range walk runs out of time
+        (``Msg39.cpp:429-444``) and a ~30 MB per-termlist read cap
+        (``PosdbTable.cpp:1975-1981``).  Analogues here:
+
+        - ``timeout_ms``: checked before each term's posting-list FETCH
+          (the I/O-dominant stage — the unit of work, like the
+          reference's docid-range splits); terms whose fetch would start
+          past the deadline are treated as absent and ``partial=True``.
+        - ``max_list_bytes``: each decoded list is truncated to its
+          first N postings (docId order — the reference truncates the
+          key-ordered termlist read identically) such that the array
+          payload fits the cap; any truncation sets ``partial=True``.
+
+        Results are the exact evaluation over the (possibly truncated)
+        lists — deterministic for a given budget.  ``partial=False``
+        means the budget was never hit and the results equal an
+        unbudgeted :meth:`search`."""
+        import time
+
+        deadline = (time.monotonic() + timeout_ms / 1000.0
+                    if timeout_ms is not None else None)
+        pq_ = parse_query(query, self.config.bigram_weight, lang=lang,
+                          position_mode=self.config.position_mode)
+        phrase_terms = pq_.position_term_ids()
+        partial = False
+        lists: dict[int, object] = {}
+        for t in pq_.terms:
+            if t.term_id in lists:
+                continue
+            if deadline is not None and time.monotonic() > deadline:
+                lists[t.term_id] = None
+                partial = True
+                continue
+            tp = self.get_postings(t.term_id,
+                                   with_positions=t.term_id in phrase_terms)
+            if tp is not None and max_list_bytes is not None:
+                tp, trunc = _truncate_postings(tp, max_list_bytes)
+                partial = partial or trunc
+            lists[t.term_id] = tp
+        docs, scores = evaluate(pq_, lists, self.n_docs, self.avgdl,
+                                self.config, k, prune=not partial)
+        return docs, scores, partial
 
     def search_page(self, query: str, k: int = 10, offset: int = 0,
                     with_total: bool = False,

@@ -484,16 +484,43 @@ def select_plan(query: ParsedQuery, lists: dict[int, TermPostings | None],
     return "exact"
 
 
+def prior_multipliers(cand: np.ndarray, prior) -> np.ndarray:
+    """Per-candidate static multipliers from a ``(sorted_doc_ids uint64,
+    multipliers float64)`` prior table; docs absent from the table get
+    1.0.  Vectorized sorted lookup."""
+    pids, pvals = prior
+    if len(pids) == 0 or len(cand) == 0:
+        return np.ones(len(cand), dtype=np.float64)
+    idx = np.minimum(np.searchsorted(pids, cand), len(pids) - 1)
+    return np.where(pids[idx] == cand, pvals[idx], 1.0)
+
+
 def evaluate(query: ParsedQuery, lists: dict[int, TermPostings | None],
              n_docs: int, avgdl: float, config: IndexConfig, k: int,
-             prune: bool = True):
+             prune: bool = True, prior=None):
     """→ (doc_ids desc-by-score, scores float64).  ``lists`` maps term_id →
     TermPostings (or None when the term is absent from the index).
 
     ``prune=True`` enables the block-max fast paths where applicable; both
     are result-identical to the exact path (tests/test_pruning.py) — the
     multi-term path re-scores surviving candidates in canonical expansion
-    order so even the float accumulation matches."""
+    order so even the float accumulation matches.
+
+    ``prior`` is an optional ``(sorted_doc_ids, multipliers)`` static
+    document prior: the final score of each doc is its BM25F score times
+    its multiplier (default 1.0) — the reference's SiteRank /
+    page-temperature / doc-flag score multipliers
+    (``PosdbTable.cpp:3686-3693,3901-3941``).  A prior invalidates the
+    stored per-term bounds, so the pruned plans are bypassed (the
+    bounds-scaling alternative — multiply every bound by max(multiplier)
+    — stays admissible but prunes poorly when the max is loose; exact
+    evaluation is the predictable choice)."""
+    if prior is not None:
+        cand = candidate_docs(query, lists)
+        wq_ = np.asarray([int(round(w * 4)) for w in config.field_weights],
+                         dtype=np.int64)
+        return _score_candidates(query, lists, cand, n_docs, avgdl,
+                                 config, k, wq_, prior=prior)
     plan = select_plan(query, lists, k, prune)
     wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
                     dtype=np.int64)
@@ -632,13 +659,17 @@ def candidate_docs(query: ParsedQuery,
 def _score_candidates(query: ParsedQuery,
                       lists: dict[int, TermPostings | None],
                       cand: np.ndarray, n_docs: int, avgdl: float,
-                      config: IndexConfig, k: int, wq: np.ndarray):
+                      config: IndexConfig, k: int, wq: np.ndarray,
+                      prior=None):
     """Canonical scoring: contributions accumulate term-at-a-time in
     expansion order — the ONE float path both the exact and pruned routes
-    share, so results are bit-identical."""
+    share, so results are bit-identical.  ``prior`` multiplies the final
+    per-doc score (see :func:`evaluate`)."""
     if len(cand) == 0:
         return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.float64)
     scores = _scores_for(query, lists, cand, n_docs, avgdl, config, wq)
+    if prior is not None:
+        scores = scores * prior_multipliers(cand, prior)
     return topk_merge(cand, scores, k)
 
 

@@ -107,7 +107,8 @@ class OracleIndex:
                field_weights: tuple | None = None,
                lang: str = "en", rerank: str | None = None,
                oversample: int = 4,
-               wiki_bigrams: frozenset | None = None):
+               wiki_bigrams: frozenset | None = None,
+               doc_prior=None):
         from dataclasses import replace
 
         if synonyms == "default":
@@ -131,7 +132,7 @@ class OracleIndex:
                                    cfg, k, prune=False,
                                    oversample=oversample)
         return evaluate(pq, lists, self.n_docs, self.avgdl, cfg, k,
-                        prune=False)
+                        prune=False, prior=doc_prior)
 
     def search_page(self, query: str, k: int = 10, offset: int = 0,
                     with_total: bool = False):
