@@ -354,6 +354,132 @@ def _write_doc_stats_partitioned(stats_src_dir: str, out_dir: str,
     return int(agg["n_docs"]), int(agg["total_dlq"])
 
 
+# incremental generations at or below this many TURN ROWS skip the
+# distributed stages (hot-term sampling pass, spill actor pool, per-shard
+# task fan) whose fixed costs dwarf the real work — the RdbBase
+# minToMerge idea (small Rdb dumps don't trigger full merges,
+# RdbBase.cpp:154): small inputs take the one-task path below
+SMALL_BUILD_MAX_ROWS = 100_000
+
+
+def _build_small_fused(table: pa.Table, out_dir: str, config: IndexConfig,
+                       fingerprint: str, write_docstore: bool,
+                       phase_sec: dict) -> tuple[list[dict], dict]:
+    """Single-process build of a SMALL generation (the add_documents fast
+    path): one tokenize pass over the in-memory table, docstats + docstore
+    + every shard encoded in a loop — identical artifact layout and
+    rank-identical postings vs the distributed build (asserted in
+    tests/test_incremental.py), none of its fixed costs.  Hot-term
+    sampling is skipped (``hot_terms = []`` is a valid layout: a corpus
+    this small has no list worth salting, and query-side salting is
+    per-generation via each meta's hot map)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..stages.tokenize import TokenizePostings
+    from .segments import encode_shard, write_segment
+
+    t = time.time()
+    tok = TokenizePostings(config)      # dl attached after the stats pass
+    postings_parts, stats_parts = [], []
+    for off in range(0, table.num_rows, 4096):
+        p, s = tok.process(table.slice(off, 4096))
+        if p.num_rows:
+            postings_parts.append(p)
+        stats_parts.append(s)
+    phase_sec["small_tokenize"] = round(time.time() - t, 3)
+
+    # doc stats — the same groupby the spill writers run, then dl_q
+    t = time.time()
+    df = pa.concat_tables(stats_parts).to_pandas()
+    agg = {f"len_f{f}": "sum" for f in range(NUM_FIELDS)}
+    agg["conv_id"] = "min"
+    stats_df = df.groupby("doc_id", as_index=False).agg(agg)
+    wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
+                    dtype=np.int64)
+    lens = stats_df[[f"len_f{f}" for f in range(NUM_FIELDS)]].to_numpy()
+    stats_df = stats_df.assign(dl_q=lens @ wq)
+    ds_dir = os.path.join(out_dir, "docstats")
+    import shutil
+
+    shutil.rmtree(ds_dir, ignore_errors=True)
+    os.makedirs(ds_dir, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(stats_df, preserve_index=False),
+                   os.path.join(ds_dir, "part-0.parquet"))
+    _mark_stage(out_dir, "docstats", fingerprint)
+    doc_ids = stats_df["doc_id"].to_numpy().astype(np.uint64)
+    order = np.argsort(doc_ids)
+    doc_ids_sorted = doc_ids[order]
+    dl_q = stats_df["dl_q"].to_numpy().astype(np.int64)
+    dl32 = (dl_q[order].astype(np.float64) / 4.0).astype(np.float32)
+    n_docs = len(doc_ids_sorted)
+    total_dlq = int(dl_q.sum())
+    avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(max(1, n_docs)))
+    phase_sec["docstats_merge"] = round(time.time() - t, 3)
+
+    # docstore
+    t = time.time()
+    if write_docstore:
+        from ..stages.tokenize import _doc_ids_for_column
+
+        store_dir = os.path.join(out_dir, "docstore")
+        shutil.rmtree(store_dir, ignore_errors=True)
+        os.makedirs(store_dir, exist_ok=True)
+        pq.write_table(
+            table.append_column("doc_id", pa.array(
+                _doc_ids_for_column(table["conv_id"]), pa.uint64())),
+            os.path.join(store_dir, "part-0.parquet"))
+        _mark_stage(out_dir, "docstore", fingerprint)
+    phase_sec["docstore"] = round(time.time() - t, 3)
+
+    # attach dl + encode every shard in-process
+    t = time.time()
+    summary: list[dict] = []
+    all_shards = list(range(config.num_partitions))
+    if postings_parts:
+        postings = pa.concat_tables(postings_parts)
+        doc = postings["doc_id"].to_numpy().astype(np.uint64)
+        idx = np.clip(np.searchsorted(doc_ids_sorted, doc), 0,
+                      max(0, len(doc_ids_sorted) - 1))
+        vals = dl32[idx].astype(np.float32)
+        vals[doc_ids_sorted[idx] != doc] = np.float32(0.0)
+        postings = postings.set_column(
+            postings.schema.get_field_index("dl"), "dl",
+            pa.array(vals, pa.float32()))
+        shard_col = postings["shard"].to_numpy()
+    else:
+        postings = None
+        shard_col = np.zeros(0, dtype=np.int32)
+    for shard in all_shards:
+        t0 = time.time()
+        salt = _salt_of_shard(shard, config)
+        sel = np.flatnonzero(shard_col == shard)
+        if postings is None or len(sel) == 0:
+            mf.write_manifest(out_dir, shard, fingerprint=fingerprint,
+                              n_terms=0, n_postings=0, bytes_written=0,
+                              wall_sec=time.time() - t0,
+                              salt=salt if config.salt_all_terms else None)
+            summary.append({"shard": shard, "n_terms": 0, "n_postings": 0,
+                            "skipped": False})
+            continue
+        tbl = postings.take(pa.array(sel))
+        seg = encode_shard(tbl, config, salt, avgdl)
+        path = mf.segment_path(out_dir, shard)
+        write_segment(seg, path)
+        n_postings = int(pa.compute.sum(seg["df"]).as_py() or 0)
+        mf.write_manifest(out_dir, shard, fingerprint=fingerprint,
+                          n_terms=seg.num_rows, n_postings=n_postings,
+                          bytes_written=os.path.getsize(path),
+                          wall_sec=time.time() - t0,
+                          salt=salt if config.salt_all_terms else None)
+        summary.append({"shard": shard, "n_terms": seg.num_rows,
+                        "n_postings": n_postings, "skipped": False})
+    phase_sec["encode"] = round(time.time() - t, 3)
+    return summary, {"n_docs": n_docs, "total_dlq": total_dlq,
+                     "avgdl": avgdl,
+                     "hot_terms": np.zeros(0, dtype=np.uint64)}
+
+
 def _build_fused_spill(transcripts_ds_factory, out_dir: str,
                        config: IndexConfig, fingerprint: str, resume: bool,
                        write_docstore: bool,
@@ -568,7 +694,8 @@ def _build_fused_spill(transcripts_ds_factory, out_dir: str,
 def build_index(transcripts_ds_factory, out_dir: str,
                 config: IndexConfig | None = None, *,
                 input_token: str, resume: bool = False,
-                write_docstore: bool = True, hooks=None) -> dict:
+                write_docstore: bool = True, hooks=None,
+                small_input_max_rows: int | None = None) -> dict:
     """Build the inverted index.  ``transcripts_ds_factory`` is a zero-arg
     callable returning a fresh Dataset over the input (the build reads the
     input twice: doc-stats pass and postings pass; a Dataset cannot be
@@ -579,7 +706,13 @@ def build_index(transcripts_ds_factory, out_dir: str,
     ``Msg13.cpp:1168``) — applied at the input factory so every pass
     (doc stats, postings, doc store, hot-term sample) sees the same
     filtered/transformed corpus.  ``hooks.token()`` joins the resume
-    fingerprint: bump the version to invalidate prior build state."""
+    fingerprint: bump the version to invalidate prior build state.
+
+    ``small_input_max_rows``: when set, the input's row count is probed
+    (one cheap count) and inputs at or below it take the single-task
+    fast path (:func:`_build_small_fused`) — pass
+    ``SMALL_BUILD_MAX_ROWS`` for incremental generations; leave ``None``
+    for full corpus builds (a 100-TB build shouldn't pay the probe)."""
     import ray
 
     from ..functions.hooks import hooked_factory
@@ -599,7 +732,35 @@ def build_index(transcripts_ds_factory, out_dir: str,
     t_start = time.time()
     phase_sec: dict[str, float] = {}
 
-    if config.build_strategy == "spill":
+    small_table = None
+    if (small_input_max_rows and config.build_strategy == "spill"
+            and not config.salt_all_terms and not resume):
+        # probe + fetch in ONE input execution: limit(N+1) stops early on
+        # a big input (cheap probe), and when the input IS small the
+        # materialized probe already holds every row — no second pass
+        probe = (transcripts_ds_factory()
+                 .limit(small_input_max_rows + 1).materialize())
+        if probe.count() <= small_input_max_rows:
+            # drop Ray's zero-column empty blocks before the concat
+            blocks = [b for b in ray.get(probe.to_arrow_refs())
+                      if b.num_rows > 0]
+            if blocks:
+                small_table = pa.concat_tables(blocks).combine_chunks()
+            else:
+                sch = probe.schema()
+                if sch is not None:
+                    small_table = pa.schema(
+                        list(zip(sch.names, sch.types))).empty_table()
+
+    if small_table is not None:
+        summary, stats = _build_small_fused(
+            small_table, out_dir, config, fingerprint, write_docstore,
+            phase_sec)
+        n_docs = stats["n_docs"]
+        total_dlq = stats["total_dlq"]
+        avgdl = stats["avgdl"]
+        hot_terms = stats["hot_terms"]
+    elif config.build_strategy == "spill":
         summary, stats = _build_fused_spill(
             transcripts_ds_factory, out_dir, config, fingerprint, resume,
             write_docstore, phase_sec)

@@ -96,8 +96,14 @@ def add_documents(out_dir: str, transcripts_ds_factory, *,
             f"num_salts={base_cfg['num_salts']} "
             f"salt_all={bool(base_cfg.get('salt_all_terms'))}, got "
             f"{cfg.num_partitions}/{cfg.num_salts}/{cfg.salt_all_terms})")
+    from .build import SMALL_BUILD_MAX_ROWS
+
+    # small generations skip the distributed build stages entirely (the
+    # RdbBase minToMerge idea: a small dump shouldn't pay full-merge
+    # machinery, RdbBase.cpp:154); large ones take the normal path
     meta = build_index(transcripts_ds_factory, sub, cfg,
-                       input_token=input_token)
+                       input_token=input_token,
+                       small_input_max_rows=SMALL_BUILD_MAX_ROWS)
     gens["generations"].append({"gen": new_gen,
                                 "dir": os.path.relpath(sub, out_dir),
                                 "input_token": input_token,
@@ -238,20 +244,84 @@ def live_docs_ds(out_dir: str, subdir: str = "docstore",
     return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
 
+# at or below this many total docstats bytes the live-stats recompute
+# runs in-process (two pruned columns; exact same newest-wins + tombstone
+# semantics) instead of paying two Ray jobs' fixed costs — the
+# maintenance analogue of the small-generation build fast path
+REFRESH_DRIVER_MAX_BYTES = 64 << 20
+
+
+def _docstats_bytes(out_dir: str, gen_list: list[dict]) -> int:
+    total = 0
+    for g in gen_list:
+        d = os.path.join(gen_dir(out_dir, g["gen"]), "docstats")
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                total += os.path.getsize(os.path.join(d, name))
+    return total
+
+
+def _live_totals_driver(out_dir: str, gen_list: list[dict],
+                        tomb_doc: np.ndarray,
+                        tomb_dead: np.ndarray) -> tuple[int, int]:
+    """In-process live (n_docs, total_dlq): read each generation's
+    (doc_id, dl_q), resolve newest-generation-wins conflicts and
+    tombstones with the same masks as :func:`_make_live_filter`."""
+    import pyarrow.dataset as pads
+
+    docs_per_gen, dlq_per_gen, gen_ids = [], [], []
+    for g in gen_list:
+        d = os.path.join(gen_dir(out_dir, g["gen"]), "docstats")
+        t = pads.dataset(d, format="parquet").to_table(
+            columns=["doc_id", "dl_q"])
+        docs_per_gen.append(t["doc_id"].to_numpy().astype(np.uint64))
+        dlq_per_gen.append(t["dl_q"].to_numpy().astype(np.int64))
+        gen_ids.append(int(g["gen"]))
+    all_docs = (np.concatenate(docs_per_gen) if docs_per_gen
+                else np.zeros(0, np.uint64))
+    all_gens = np.concatenate(
+        [np.full(len(d), gid, np.int32)
+         for d, gid in zip(docs_per_gen, gen_ids)]) if docs_per_gen \
+        else np.zeros(0, np.int32)
+    uniq, inv, cnt = np.unique(all_docs, return_inverse=True,
+                               return_counts=True)
+    win = np.full(len(uniq), -1, np.int32)
+    np.maximum.at(win, inv, all_gens)
+    dup = cnt > 1
+    cdoc, cwin = uniq[dup], win[dup]
+    n_docs, total_dlq = 0, 0
+    for doc, dlq, gid in zip(docs_per_gen, dlq_per_gen, gen_ids):
+        keep = np.ones(len(doc), dtype=bool)
+        if len(cdoc):
+            idx = np.clip(np.searchsorted(cdoc, doc), 0, len(cdoc) - 1)
+            keep &= ~((cdoc[idx] == doc) & (cwin[idx] > gid))
+        if len(tomb_doc):
+            idx = np.clip(np.searchsorted(tomb_doc, doc), 0,
+                          len(tomb_doc) - 1)
+            keep &= ~((tomb_doc[idx] == doc) & (tomb_dead[idx] >= gid))
+        n_docs += int(keep.sum())
+        total_dlq += int(dlq[keep].sum())
+    return n_docs, total_dlq
+
+
 def refresh_stats(out_dir: str) -> dict:
     """Recompute live N / avgdl into generations.json (exact int sums).
 
-    Fast path: an untouched index (single generation, no tombstones) takes
-    its totals straight from the generation's meta — no Ray job.  Any
-    maintained index aggregates the live docstats STREAM (Sum/Count over
-    two pruned columns) — the round-2 whole-corpus driver pandas merge is
-    gone."""
+    Fast paths: an untouched index (single generation, no tombstones)
+    takes its totals straight from the generation's meta — no Ray job;
+    a maintained index whose docstats total ≤ ``REFRESH_DRIVER_MAX_BYTES``
+    recomputes in-process (same masks, no Ray-job fixed costs).  Bigger
+    indexes aggregate the live docstats STREAM (Sum/Count over two
+    pruned columns) — fully distributed."""
     gens = read_generations(out_dir)
     gen_list = sorted(gens["generations"], key=lambda g: g["gen"])
-    tomb_doc, _ = read_tombstones(out_dir)
+    tomb_doc, tomb_dead = read_tombstones(out_dir)
     if len(gen_list) == 1 and len(tomb_doc) == 0:
         m = load_meta(gen_dir(out_dir, gen_list[0]["gen"]))
         n_docs, total_dlq = int(m["n_docs"]), int(m["total_dlq"])
+    elif _docstats_bytes(out_dir, gen_list) <= REFRESH_DRIVER_MAX_BYTES:
+        n_docs, total_dlq = _live_totals_driver(out_dir, gen_list,
+                                                tomb_doc, tomb_dead)
     else:
         from ray.data.aggregate import Count, Sum
 

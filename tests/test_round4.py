@@ -110,3 +110,25 @@ def test_curated_cache_reuse(ray_session):
     assert a is b
     rep = _pd(curation.curation_report(SF))
     assert {"lang", "n_docs", "sum_tokens"} <= set(rep.columns)
+
+
+def test_small_build_fast_path_rank_identical(ray_session, tmp_path):
+    """The single-task small-generation build must be rank-identical to
+    the distributed build AND the oracle (same artifacts contract)."""
+    from open_source_search_engine_ray.index.build import build_index
+    from open_source_search_engine_ray.query.engine import IndexSearcher
+    from open_source_search_engine_ray.query.oracle import OracleIndex
+    from open_source_search_engine_ray.sources.queryset import query_set
+    from open_source_search_engine_ray.sources.transcripts import (
+        transcripts_dataset, transcripts_table)
+
+    fast = str(tmp_path / "fast")
+    build_index(lambda: transcripts_dataset(150), fast,
+                input_token="synthetic:n=150",
+                small_input_max_rows=100_000)
+    se = IndexSearcher(fast)
+    orc = OracleIndex(transcripts_table(150))
+    for qid, q, k in query_set():
+        d1, s1 = se.search(q, k)
+        d2, s2 = orc.search(q, k)
+        assert list(d1) == list(d2) and list(s1) == list(s2), (qid, q)
