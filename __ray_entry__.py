@@ -53,6 +53,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             transcripts_flagship.transcripts_search_snippets,
         "transcripts_search_snippets_dedup":
             transcripts_flagship.transcripts_search_snippets_dedup,
+        "transcripts_spell_suggest":
+            transcripts_flagship.transcripts_spell_suggest,
+        "transcripts_search_budgeted":
+            transcripts_flagship.transcripts_search_budgeted,
+        "transcripts_doc_prior_topk":
+            transcripts_flagship.transcripts_doc_prior_topk,
         # document search with SQL-replicable semantics
         "bm25_topk_docs": doc_search.bm25_topk_docs,
         "engine_bm25_docs": engine_docs.engine_bm25_docs,
@@ -74,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": text_analysis.bpe_token_count,
         "quality_score": text_analysis.quality_score,
         "lang_id": text_analysis.lang_id,
+        "lang_id_ngram": text_analysis.lang_id_ngram,
         "fingerprint_docs": text_analysis.fingerprint_docs,
         "top_terms": text_analysis.top_terms,
         # multimodal plumbing (decode stubbed, see module docstring)

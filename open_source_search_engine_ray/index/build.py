@@ -480,6 +480,17 @@ def _build_small_fused(table: pa.Table, out_dir: str, config: IndexConfig,
                      "hot_terms": np.zeros(0, dtype=np.uint64)}
 
 
+def _check_dl_ceiling(n_docs: int, config: IndexConfig) -> None:
+    if n_docs > config.dl_broadcast_max_docs:
+        raise ValueError(
+            f"default build mode broadcasts a (doc_id, dl) table of "
+            f"{n_docs:,} docs (~{n_docs * 12 // (1 << 20)} MB per node), "
+            f"above dl_broadcast_max_docs={config.dl_broadcast_max_docs:,}."
+            f" Rebuild with IndexConfig(salt_all_terms=True) — the "
+            f"doc-partitioned layout whose encode tasks each load only "
+            f"their salt's dl partition — or raise the ceiling explicitly.")
+
+
 def _build_fused_spill(transcripts_ds_factory, out_dir: str,
                        config: IndexConfig, fingerprint: str, resume: bool,
                        write_docstore: bool,
@@ -566,6 +577,7 @@ def _build_fused_spill(transcripts_ds_factory, out_dir: str,
             n_docs = len(doc_ids_sorted)
             total_dlq = int(dl_q.sum())
             avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(n_docs))
+            _check_dl_ceiling(n_docs, config)
             dl_ref = ray.put((doc_ids_sorted, dl32))
         phase_sec["docstats_merge"] = round(time.time() - t, 3)
         stats_df = None
@@ -631,6 +643,7 @@ def _build_fused_spill(transcripts_ds_factory, out_dir: str,
         n_docs = len(doc_ids_sorted)
         total_dlq = int(dl_q.sum())
         avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(n_docs))
+        _check_dl_ceiling(n_docs, config)
         dl_ref = ray.put((doc_ids_sorted, dl32))
     phase_sec["docstats_merge"] = round(time.time() - t, 3)
 
@@ -779,6 +792,7 @@ def build_index(transcripts_ds_factory, out_dir: str,
         n_docs = len(doc_ids_sorted)
         total_dlq = int(dl_q.sum())
         avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(n_docs))
+        _check_dl_ceiling(n_docs, config)
         dl_ref = ray.put((doc_ids_sorted, dl32))
 
         # hot terms (salted repartitioning; persisted for layout-stable resume)

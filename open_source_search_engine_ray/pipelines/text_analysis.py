@@ -211,6 +211,38 @@ def lang_id(sf_dir: str):
     return _read_docs(sf_dir).map_batches(classify, batch_format="pyarrow")
 
 
+class _NgramLangId:
+    """Actor-pool stage for the TextCat n-gram classifier: the ~30
+    reference profiles build once per actor in ``__init__`` (SURVEY §2.4
+    stateful-stage rule); ``__call__`` classifies a batch."""
+
+    def __init__(self):
+        from ..functions import langid
+
+        self._classify = langid.classify
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs, confs = [], []
+        for t in batch["text"].to_pylist():
+            lg, c = self._classify(t or "")
+            langs.append(lg)
+            confs.append(c)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "lang_pred": pa.array(langs, pa.string()),
+                         "confidence": pa.array(confs, pa.float64())})
+
+
+def lang_id_ngram(sf_dir: str):
+    """→ (doc_id, lang_pred, confidence): TextCat rank-order character
+    n-gram classification over ~30 languages (functions/langid.py — the
+    public-method CLD2 analogue, ``FxLanguage.cpp``).  Rows-only driver
+    entry: the classifier is not SQL-expressible; accuracy is anchored
+    by the planted multilingual pytest instead.  Map-side only, no
+    shuffle."""
+    return _read_docs(sf_dir).map_batches(
+        _NgramLangId, batch_format="pyarrow", concurrency=(1, 8))
+
+
 def lang_id_sql() -> str:
     def in_list(lang):
         return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])

@@ -154,3 +154,95 @@ def transcripts_index_manifests(sf_dir: str):
         rows["fingerprint"].append(m["fingerprint"])
     _ = meta
     return pa.table(rows)
+
+
+def transcripts_spell_suggest(sf_dir: str):
+    """→ (typo, rank, suggestion, distance, cf) for a planted typo set —
+    the Speller.cpp query-suggestion surface (query/spell.py: SymSpell
+    deletion-neighborhood over the corpus vocabulary, popularity-ranked).
+    Rows-only driver check; goldens live in tests/test_spell.py."""
+    from ..query.spell import SpellSuggester, _vocab_path, build_vocab
+
+    idx_dir = ensure_index(sf_dir)
+    if not os.path.exists(_vocab_path(idx_dir)):
+        build_vocab(idx_dir)
+    sp = SpellSuggester(idx_dir)
+    typos = ["w042", "w00422", "teh", "w9z99", "w0007"]
+    out = {"typo": [], "rank": [], "suggestion": [], "distance": [],
+           "cf": []}
+    for t in typos:
+        for r, (w, d, cf) in enumerate(sp.suggest(t, k=3), start=1):
+            out["typo"].append(t)
+            out["rank"].append(r)
+            out["suggestion"].append(w)
+            out["distance"].append(d)
+            out["cf"].append(cf)
+    return pa.table({
+        "typo": pa.array(out["typo"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "suggestion": pa.array(out["suggestion"], pa.string()),
+        "distance": pa.array(out["distance"], pa.int64()),
+        "cf": pa.array(out["cf"], pa.int64()),
+    })
+
+
+def transcripts_search_budgeted(sf_dir: str):
+    """→ (query_id, rank, doc_id, score, partial) under a per-term list
+    byte cap — the Msg39 deadline / PosdbTable termlist-cap analogue
+    (IndexSearcher.search_budgeted).  Deterministic for a fixed cap;
+    rows-only driver check (budget semantics aren't SQL-expressible)."""
+    from ..query.engine import IndexSearcher
+
+    idx_dir = ensure_index(sf_dir)
+    se = IndexSearcher(idx_dir)
+    out = {"query_id": [], "rank": [], "doc_id": [], "score": [],
+           "partial": []}
+    for qid, q, k in query_set()[:8]:
+        docs, scores, partial = se.search_budgeted(
+            q, k, max_list_bytes=256 << 10)
+        for r, (d, s) in enumerate(zip(docs, scores), start=1):
+            out["query_id"].append(qid)
+            out["rank"].append(r)
+            out["doc_id"].append(int(d))
+            out["score"].append(round(float(s), 6))
+            out["partial"].append(bool(partial))
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+        "partial": pa.array(out["partial"], pa.bool_()),
+    })
+
+
+def transcripts_doc_prior_topk(sf_dir: str):
+    """→ (query_id, rank, doc_id, score) with a deterministic static
+    doc prior multiplying BM25F (doc_id % 7 == 0 → 2.0, else 1.0) — the
+    SiteRank / doc-flag multiplier analogue (PosdbTable.cpp:3686-3693).
+    Rows-only; engine==oracle identity for priors is the pytest gate
+    (tests/test_budget_prior.py)."""
+    import pyarrow.dataset as pads
+
+    from ..query.engine import IndexSearcher
+
+    idx_dir = ensure_index(sf_dir)
+    tbl = pads.dataset(os.path.join(idx_dir, "docstats"),
+                       format="parquet").to_table(columns=["doc_id"])
+    ids = np.sort(tbl["doc_id"].to_numpy().astype(np.uint64))
+    mult = np.where(ids % np.uint64(7) == 0, 2.0, 1.0).astype(np.float64)
+    prior = (ids, mult)
+    se = IndexSearcher(idx_dir)
+    out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, q, k in query_set()[:8]:
+        docs, scores = se.search(q, k, doc_prior=prior)
+        for r, (d, s) in enumerate(zip(docs, scores), start=1):
+            out["query_id"].append(qid)
+            out["rank"].append(r)
+            out["doc_id"].append(int(d))
+            out["score"].append(round(float(s), 6))
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+    })

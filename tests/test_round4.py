@@ -132,3 +132,18 @@ def test_small_build_fast_path_rank_identical(ray_session, tmp_path):
         d1, s1 = se.search(q, k)
         d2, s2 = orc.search(q, k)
         assert list(d1) == list(d2) and list(s1) == list(s2), (qid, q)
+
+
+def test_dl_broadcast_ceiling_raises(ray_session, tmp_path):
+    """Above dl_broadcast_max_docs the default build mode must FAIL
+    LOUDLY pointing at salt_all_terms, not ship the broadcast."""
+    from open_source_search_engine_ray.config import IndexConfig
+    from open_source_search_engine_ray.index.build import build_index
+    from open_source_search_engine_ray.sources.transcripts import (
+        transcripts_dataset)
+
+    with pytest.raises(ValueError, match="salt_all_terms"):
+        build_index(lambda: transcripts_dataset(50),
+                    str(tmp_path / "idx"),
+                    IndexConfig(dl_broadcast_max_docs=10),
+                    input_token="synthetic:n=50")
