@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data curation
         "stratified_sample": sampling.stratified_sample,
         "sample_k_per_group": sampling.sample_k_per_group,
+        "train_split": sampling.train_split,
         "pack_sequences": sampling.pack_sequences,
         "curate_corpus": curation.curate_corpus,
         "curation_report": curation.curation_report,
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_revenue": relational.order_priority_revenue_sql(),
         "stratified_sample": sampling.stratified_sample_sql(),
         "sample_k_per_group": sampling.sample_k_per_group_sql(),
+        "train_split": sampling.train_split_sql(),
         "pack_sequences": sampling.pack_sequences_sql(),
         "curate_corpus": curation.curate_corpus_sql(),
         "curation_report": curation.curation_report_sql(),

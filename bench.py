@@ -97,6 +97,19 @@ def run_headline(sf_dir: str, num_cpus: int, full: bool = True,
     # ordered union path; was 652 ms at 5.2M turns in round 1)
     out["worst_stopword_query_warm_ms"] = round(
         lat_warm.get("q0004", 0.0) * 1000, 2)
+    # the same worst query under the Msg39/PosdbTable budget analogue
+    # (search_budgeted: 256 KiB per-term list cap → flagged partial)
+    worst_q = next((q for qid, q, k in qs if qid == "q0004"), None)
+    if worst_q is not None:
+        reps_b = []
+        partial = False
+        for _ in range(3):
+            t = time.time()
+            _, _, partial = se.search_budgeted(worst_q, 10,
+                                               max_list_bytes=256 << 10)
+            reps_b.append(time.time() - t)
+        out["worst_query_budgeted_ms"] = round(min(reps_b) * 1000, 2)
+        out["worst_query_budgeted_partial"] = bool(partial)
 
     # batch throughput (all queries through the distributed actor pool)
     t0 = time.time()
@@ -131,6 +144,17 @@ def run_headline(sf_dir: str, num_cpus: int, full: bool = True,
         n_pairs = _hot_shingle_bench(20_000)
         out["jaccard_hot_shingle_20k_sec"] = round(time.time() - t0, 3)
         out["jaccard_hot_shingle_pairs"] = n_pairs
+
+        # resumable curated-corpus writer (shards written inside
+        # map_groups workers; reuses the cached curate_corpus run)
+        import shutil as _sh
+
+        cw_dir = "/tmp/osse_bench_curated"
+        _sh.rmtree(cw_dir, ignore_errors=True)
+        t0 = time.time()
+        curation.curate_and_write(sf_dir, cw_dir)
+        out["curate_and_write_sec"] = round(time.time() - t0, 3)
+        _sh.rmtree(cw_dir, ignore_errors=True)
 
         # segment-level compaction vs fresh build: append a generation,
         # tombstone some docs, compact_merge — target ~2× of fresh build

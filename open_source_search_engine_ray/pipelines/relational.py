@@ -223,22 +223,68 @@ ORDER BY n.n_name, p.p_brand
 
 def customers_without_orders(sf_dir: str):
     """TPC-H Q22-flavored ANTI-JOIN: customers with no URGENT orders,
-    aggregated per nation.  The anti side (distinct urgent-order custkeys)
-    streams through a hash left-anti join — no driver materialization of
-    either table; the 25-row nation dim is the only broadcast."""
+    aggregated per nation.  Both sides are unbroadcastable, so the anti
+    join is the union-tag co-partition (bucket on custkey, one groupby,
+    vectorized sorted anti-membership in the group kernel) — the same
+    data movement as a hash join without Ray ``Dataset.join``'s
+    empty-hash-partition crash; the 25-row nation dim is the only
+    broadcast."""
     import ray
     from ray.data.aggregate import Count, Sum
 
-    cust = _read(sf_dir, "customer",
-                 ["c_custkey", "c_nationkey", "c_acctbal"]).materialize()
-    okeys = (_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-             .map_batches(lambda b: b.filter(
-                 pc.equal(b["o_orderpriority"], "1-URGENT")),
-                 batch_format="pyarrow")
-             .groupby("o_custkey").aggregate(Count(alias_name="_n"))
-             .materialize())
-    no_orders = cust.join(okeys, "left_anti", 8,
-                          on=("c_custkey",), right_on=("o_custkey",))
+    ANTI_BUCKETS = 64
+    _tag_schema = pa.schema([
+        ("bucket", pa.int64()), ("key", pa.int64()),
+        ("c_nationkey", pa.int64()), ("c_acctbal", pa.float64()),
+        ("is_o", pa.int64())])
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        keys = b["c_custkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(keys % ANTI_BUCKETS),
+            "key": pa.array(keys),
+            "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            "c_acctbal": pc.cast(b["c_acctbal"], pa.float64()),
+            "is_o": pa.array(np.zeros(len(keys), np.int64)),
+        }).cast(_tag_schema)
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+        keys = b["o_custkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(keys % ANTI_BUCKETS),
+            "key": pa.array(keys),
+            "c_nationkey": pa.array(np.zeros(len(keys), np.int64)),
+            "c_acctbal": pa.array(np.zeros(len(keys), np.float64)),
+            "is_o": pa.array(np.ones(len(keys), np.int64)),
+        }).cast(_tag_schema)
+
+    _out_schema = pa.schema([("c_nationkey", pa.int64()),
+                             ("c_acctbal", pa.float64())])
+
+    def anti(g: pa.Table) -> pa.Table:
+        iso = g["is_o"].to_numpy()
+        keys = g["key"].to_numpy()
+        osort = np.sort(keys[iso == 1])
+        crows = np.flatnonzero(iso == 0)
+        if len(crows) == 0:
+            return _out_schema.empty_table()
+        ck = keys[crows]
+        if len(osort):
+            idx = np.minimum(np.searchsorted(osort, ck), len(osort) - 1)
+            crows = crows[osort[idx] != ck]
+        take = pa.array(crows)
+        return pa.table({"c_nationkey": g["c_nationkey"].take(take),
+                         "c_acctbal": g["c_acctbal"].take(take)})
+
+    no_orders = (_read(sf_dir, "customer",
+                       ["c_custkey", "c_nationkey", "c_acctbal"])
+                 .map_batches(tag_cust, batch_format="pyarrow")
+                 .union(_read(sf_dir, "orders",
+                              ["o_custkey", "o_orderpriority"])
+                        .map_batches(tag_orders, batch_format="pyarrow"))
+                 .groupby("bucket")
+                 .map_groups(anti, batch_format="pyarrow"))
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))

@@ -85,6 +85,54 @@ ORDER BY doc_id
 """
 
 
+# train/val/test shares in percent (hash buckets 0..99)
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10
+
+
+def train_split(sf_dir: str):
+    """→ (doc_id, split, sort_key): deterministic train/val/test
+    assignment + shuffle key — the split-and-shuffle step every training
+    run applies before sharding.
+
+    ``split`` comes from ``knuth_hash(doc_id) % 100`` bucket ranges
+    (80/10/10), ``sort_key`` is the hash itself: consumers ORDER BY
+    ``sort_key`` to get the reproducible global shuffle without this
+    operator paying a corpus-wide sort (assignment is pure map-side — the
+    only shape that holds at 10^12 rows; the reorder happens inside each
+    consumer's own range partition).  Same doc → same split on any
+    cluster size, any re-run, any corpus subset — the property that keeps
+    eval sets stable as the corpus grows."""
+    def assign(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy()
+        h = knuth_hash(doc_id)
+        bucket = h % 100
+        split = np.where(
+            bucket < SPLIT_TRAIN_PCT, "train",
+            np.where(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT,
+                     "val", "test"))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "split": pa.array(split.astype(object), pa.string()),
+            "sort_key": pa.array(h, pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(assign, batch_format="pyarrow")
+
+
+def train_split_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CASE WHEN ({KNUTH_SQL}) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN ({KNUTH_SQL}) % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT}
+              THEN 'val'
+            ELSE 'test' END AS split,
+       ({KNUTH_SQL})::BIGINT AS sort_key
+FROM documents ORDER BY doc_id
+"""
+
+
 K_PER_GROUP = 3
 
 

@@ -91,8 +91,10 @@ def export_snippets(index_dir: str, queries: list[tuple[str, str, int]],
     regex/highlight work inside workers):
 
     1. the query set evaluates through the ``QueryEvalStage`` actor pool;
-    2. hits hash-join against the doc-store turns on doc_id (reduce-side
-       join — no driver materialization of either side);
+    2. the (small) hit set broadcasts to the doc-store read tasks, which
+       semi-filter + fan out per hitting query map-side — only HIT docs'
+       turns ever shuffle (the hits side is ≤ |queries|·k rows by
+       construction, the textbook broadcast side);
     3. ``groupby(query_id, doc_id).map_groups`` assembles each result's
        best-turn snippet with the per-query term sets broadcast once.
 
@@ -116,15 +118,28 @@ def export_snippets(index_dir: str, queries: list[tuple[str, str, int]],
         qterms[qid] = {t.term_id for t in pq_.terms if not t.negative}
     qterms_ref = ray.put(qterms)
 
-    hits = evaluate_queries_distributed(index_dir, queries,
-                                        concurrency=concurrency)
-    hits = hits.map_batches(
-        lambda b: pa.table({
-            "query_id": pa.array(b["query_id"].astype(str)),
-            "rank": pa.array(b["rank"].to_numpy().astype(np.int32)),
-            "doc_id": pa.array(b["doc_id"].to_numpy().astype(np.int64)),
-            "score": pa.array(b["score"].to_numpy().astype(np.float64)),
-        }), batch_format="pandas").materialize()
+    hits_df = (evaluate_queries_distributed(index_dir, queries,
+                                            concurrency=concurrency)
+               .to_pandas())   # ≤ |queries|·k rows — the small side
+
+    # broadcast semi-join: the hit set rides to every docstore read task
+    # via ray.put (sorted ids for the membership test + per-doc hit
+    # metadata for the fan-out), so only HIT docs' turns are shuffled —
+    # Ray's Dataset.join is avoided both for its all-rows shuffle and
+    # for its empty-hash-partition crash (see pipelines/dedup.py)
+    hit_ids = np.sort(hits_df["doc_id"].to_numpy().astype(np.int64))
+    by_doc: dict[int, list] = {}
+    for row in hits_df.itertuples(index=False):
+        by_doc.setdefault(int(row.doc_id), []).append(
+            (str(row.query_id), int(row.rank), float(row.score)))
+    hits_ref = ray.put((np.unique(hit_ids), by_doc))
+
+    _fan_schema = pa.schema([
+        ("query_id", pa.string()), ("rank", pa.int32()),
+        ("doc_id", pa.int64()), ("score", pa.float64()),
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("role", pa.string()), ("text", pa.string()),
+        ("gen", pa.int32())])
 
     gens = read_generations(index_dir)
     parts = []
@@ -132,22 +147,46 @@ def export_snippets(index_dir: str, queries: list[tuple[str, str, int]],
         d = os.path.join(gen_dir(index_dir, g["gen"]), "docstore")
         gen_no = int(g["gen"])
 
-        def tag(b: pa.Table, _g=gen_no) -> pa.Table:
-            b = b.set_column(
-                b.schema.get_field_index("doc_id"), "doc_id",
-                pa.array(b["doc_id"].to_numpy().astype(np.int64)))
-            return b.append_column("gen", pa.array(
-                np.full(b.num_rows, _g, dtype=np.int32)))
+        def fan(b: pa.Table, _g=gen_no) -> pa.Table:
+            ids_sorted, meta = ray.get(hits_ref)
+            doc = b["doc_id"].to_numpy().astype(np.int64)
+            if len(ids_sorted):
+                idx = np.minimum(np.searchsorted(ids_sorted, doc),
+                                 len(ids_sorted) - 1)
+                keep = np.flatnonzero(ids_sorted[idx] == doc)
+            else:
+                keep = np.zeros(0, dtype=np.int64)
+            if len(keep) == 0:
+                return _fan_schema.empty_table()
+            kept = b.take(pa.array(keep))
+            kdoc = doc[keep]
+            out = {c: [] for c in ("query_id", "rank", "score")}
+            rep = []
+            for i, d_ in enumerate(kdoc):
+                for qid, rank, score in meta[int(d_)]:
+                    rep.append(i)
+                    out["query_id"].append(qid)
+                    out["rank"].append(rank)
+                    out["score"].append(score)
+            rep_t = kept.take(pa.array(np.asarray(rep, np.int64)))
+            return pa.table({
+                "query_id": pa.array(out["query_id"], pa.string()),
+                "rank": pa.array(out["rank"], pa.int32()),
+                "doc_id": pa.array(kdoc[rep].astype(np.int64)),
+                "score": pa.array(out["score"], pa.float64()),
+                "conv_id": rep_t["conv_id"],
+                "turn_idx": pa.compute.cast(rep_t["turn_idx"], pa.int32()),
+                "role": rep_t["role"],
+                "text": rep_t["text"],
+                "gen": pa.array(np.full(len(rep), _g, np.int32)),
+            }).cast(_fan_schema)
 
         parts.append(ray.data.read_parquet(
             d, columns=["doc_id", "conv_id", "turn_idx", "role", "text"])
-            .map_batches(tag, batch_format="pyarrow"))
-    store = parts[0]
+            .map_batches(fan, batch_format="pyarrow"))
+    joined = parts[0]
     for p in parts[1:]:
-        store = store.union(p)
-    store = store.materialize()
-
-    joined = hits.join(store, "inner", join_partitions, on=("doc_id",))
+        joined = joined.union(p)
 
     def build_page_row(g: pa.Table) -> pa.Table:
         qt = ray.get(qterms_ref)
