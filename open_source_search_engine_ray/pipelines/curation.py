@@ -74,6 +74,11 @@ def curate_corpus(sf_dir: str):
     if hit is not None:
         return hit
     mat = _curate_pipeline(sf_dir).materialize()
+    # coalesce before caching: the pipeline's shuffles leave hundreds of
+    # near-empty blocks, and every cached-consumer stage would otherwise
+    # pay per-block task overhead forever; target ~500k rows/block
+    nblocks = max(4, min(1024, mat.count() // 500_000 + 1))
+    mat = mat.repartition(nblocks).materialize()
     _CURATED_CACHE.clear()
     _CURATED_CACHE[key] = mat
     return mat
@@ -148,9 +153,13 @@ def _curate_pipeline(sf_dir: str):
             "n_tokens": b["n_tokens"],
         })
 
+    # num_partitions pins the hash-shuffle fan to the bucket cardinality
+    # (Ray's ~200-partition default leaves hundreds of near-empty blocks
+    # whose per-task costs dominate at test scales; at corpus scale
+    # MD5_BUCKETS is the group-size knob and partitions match it)
     survivors = (_read_docs(sf_dir)
                  .map_batches(gate_and_hash, batch_format="pyarrow")
-                 .groupby("bucket")
+                 .groupby("bucket", num_partitions=min(MD5_BUCKETS, 64))
                  .map_groups(md5_min, batch_format="pyarrow")
                  .map_batches(rekey, batch_format="pyarrow"))
 
@@ -192,7 +201,7 @@ def _curate_pipeline(sf_dir: str):
         })
 
     return (survivors.union(non_reps)
-            .groupby("jbucket")
+            .groupby("jbucket", num_partitions=min(MD5_BUCKETS, 64))
             .map_groups(anti, batch_format="pandas"))
 
 

@@ -159,7 +159,7 @@ def _attach_blobs(cand, cand_schema: pa.Schema, key_col: str, sets,
 
     tagged = (cand.map_batches(tag_cand, batch_format="pyarrow")
               .union(sets.map_batches(tag_sets, batch_format="pyarrow")))
-    return (tagged.groupby("bucket")
+    return (tagged.groupby("bucket", num_partitions=min(nbuckets, 512))
             .map_groups(attach, batch_format="pyarrow")
             .map_batches(_retype(out_schema), batch_format="pyarrow"))
 
@@ -406,9 +406,9 @@ def ngram_jaccard_pairs(sf_dir: str):
     # rows by bucket, segment runs inside the bucket (see _bucket_pairs)
     cand = (_read_docs(sf_dir)
             .map_batches(prefix_rows, batch_format="pyarrow")
-            .groupby("bucket")
+            .groupby("bucket", num_partitions=min(nb, 512))
             .map_groups(_bucket_pairs, batch_format="pyarrow")
-            .groupby(["doc_a", "doc_b"])
+            .groupby(["doc_a", "doc_b"], num_partitions=JOIN_PARTITIONS)
             .aggregate(Count(alias_name="_nb"))
             .map_batches(_retype(pa.schema(
                 [("doc_a", pa.int64()), ("doc_b", pa.int64()),
@@ -526,13 +526,26 @@ ORDER BY doc_a, doc_b
 """
 
 
+# at or below this many (symmetrized) edges the min-label rounds run
+# in-process over numpy arrays — identical semantics, none of the
+# per-round distributed-shuffle fixed costs, which dominate utterly at
+# test scales (measured: ~70 s/round of Ray jobs vs <1 ms of numpy for a
+# 50-edge graph).  5M edges ≈ 80 MB driver arrays; above that the
+# distributed loop takes over — the same fast-path/scale-path split as
+# index.merge.refresh_stats.
+LP_DRIVER_MAX_EDGES = 5_000_000
+
+
 def label_propagation_components(pairs_ds, max_rounds: int = 4096):
     """Connected components over an edge Dataset (doc_a, doc_b) by
-    distributed min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels (hash join + groupby-min —
-    all-distributed, no driver union-find), until the label sum stops
-    changing.  Converges in O(component diameter) rounds; label = min
-    doc_id in the component."""
+    min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels, until labels stop changing.
+    Converges in O(component diameter) rounds; label = min doc_id in the
+    component.  Small edge sets run the rounds in-process (see
+    ``LP_DRIVER_MAX_EDGES``); large ones run the fully-distributed
+    co-partition loop (no driver union-find at scale)."""
+    import ray
+
     from ray.data.aggregate import Min, Sum
 
     edges = pairs_ds.map_batches(
@@ -544,8 +557,36 @@ def label_propagation_components(pairs_ds, max_rounds: int = 4096):
                 [b["doc_b"].to_numpy(), b["doc_a"].to_numpy()])
                 .astype(np.int64)),
         }), batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return None
+    if n_edges <= LP_DRIVER_MAX_EDGES:
+        import ray.data
+
+        blocks = [b for b in ray.get(edges.to_arrow_refs())
+                  if b.num_rows > 0]
+        tbl = pa.concat_tables(blocks)
+        src = tbl["src"].to_numpy()
+        dst = tbl["dst"].to_numpy()
+        # edges are symmetrized, so unique(src) IS the node set
+        nodes, src_idx = np.unique(src, return_inverse=True)
+        dst_idx = np.searchsorted(nodes, dst)
+        labels = nodes.copy()
+        converged = False
+        for _ in range(max_rounds):
+            new = labels.copy()
+            np.minimum.at(new, dst_idx, labels[src_idx])
+            if np.array_equal(new, labels):
+                converged = True
+                break
+            labels = new
+        if not converged:
+            raise RuntimeError(
+                f"label propagation did not converge within {max_rounds} "
+                "rounds — component diameter exceeds the cap")
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster_id": pa.array(labels, pa.int64())}))
     _lbl_schema = pa.schema([("doc_id", pa.int64()),
                              ("cluster_id", pa.int64())])
 
@@ -559,7 +600,15 @@ def label_propagation_components(pairs_ds, max_rounds: int = 4096):
                 b["_m"].to_numpy()).astype(np.int64)),
         })
 
-    labels = (edges.groupby("src").aggregate(Min("dst", alias_name="_m"))
+    # every groupby in this loop pins num_partitions: Ray's default hash
+    # shuffle emits ~200 partitions regardless of size, so each round
+    # would add hundreds of near-empty blocks whose per-task fixed costs
+    # dominate (measured 23 s → 110 s per round at sf0.01); the label
+    # table is the pair-graph node set, so JOIN_PARTITIONS-sized
+    # partitions hold it comfortably at any corpus scale where the
+    # near-dup graph fits a cluster at all
+    labels = (edges.groupby("src", num_partitions=JOIN_PARTITIONS)
+              .aggregate(Min("dst", alias_name="_m"))
               .map_batches(_seed, batch_format="pyarrow").materialize())
     # per-round neighbor messages: edges ⋈ labels ON src == doc_id as a
     # union-tag co-partition (bucket on the key, vectorized sorted lookup
@@ -605,12 +654,18 @@ def label_propagation_components(pairs_ds, max_rounds: int = 4096):
     prev_sum = None
     converged = False
     for _ in range(max_rounds):
+        # msgs materialize BETWEEN the two shuffles: two hash-shuffle
+        # operators in one streaming plan starve each other's aggregator
+        # actor pools (same pathology as chained joins — see the note in
+        # ngram_jaccard_pairs)
         msgs = (edges_tagged
                 .union(labels.map_batches(_tag_labels,
                                           batch_format="pyarrow"))
-                .groupby("bucket")
-                .map_groups(_propagate, batch_format="pyarrow"))
-        labels = (labels.union(msgs).groupby("doc_id")
+                .groupby("bucket", num_partitions=JOIN_PARTITIONS)
+                .map_groups(_propagate, batch_format="pyarrow")
+                .materialize())
+        labels = (labels.union(msgs)
+                  .groupby("doc_id", num_partitions=JOIN_PARTITIONS)
                   .aggregate(Min("cluster_id", alias_name="cluster_id"))
                   .map_batches(_retype(_lbl_schema),
                                batch_format="pyarrow")

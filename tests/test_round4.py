@@ -147,3 +147,34 @@ def test_dl_broadcast_ceiling_raises(ray_session, tmp_path):
                     str(tmp_path / "idx"),
                     IndexConfig(dl_broadcast_max_docs=10),
                     input_token="synthetic:n=50")
+
+
+def test_label_propagation_paths_identical(ray_session, tmp_path,
+                                           monkeypatch):
+    """Driver fast path vs distributed label propagation must produce
+    the same components (same doc_id -> cluster_id mapping)."""
+    from open_source_search_engine_ray.pipelines import dedup
+
+    texts = {
+        0: "verbatim duplicated paragraph alpha bravo charlie delta",
+        1: "verbatim duplicated paragraph alpha bravo charlie delta",
+        2: "verbatim duplicated paragraph alpha bravo charlie echo",
+        3: "completely unrelated rhubarb cultivation notes herein",
+        4: "second pair of twins sharing every single shingle here",
+        5: "second pair of twins sharing every single shingle here",
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "lang": pa.array(["en"] * len(texts)),
+        "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(tbl, f"{sf}/documents.parquet")
+
+    fast = (dedup.dedup_clusters(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    monkeypatch.setattr(dedup, "LP_DRIVER_MAX_EDGES", 0)
+    dist = (dedup.dedup_clusters(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, dist)
+    assert set(fast["cluster_id"]) >= {0, 4}     # two planted components
