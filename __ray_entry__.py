@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_docs": dedup.simhash_docs,
+        "repeated_ngram_spans": dedup.repeated_ngram_spans,
         # similarity search
         "cosine_topk": similarity.cosine_topk,
         "lsh_cosine_topk": similarity.lsh_cosine_topk,
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.exact_dedup_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(),
+        "repeated_ngram_spans": dedup.repeated_ngram_spans_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs_sql(),
         "token_stats": text_analysis.token_stats_sql(),

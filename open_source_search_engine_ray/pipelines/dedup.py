@@ -877,3 +877,137 @@ def simhash_docs(sf_dir: str):
                          "simhash": pa.array(out, pa.int64())})
 
     return _read_docs(sf_dir).map_batches(sim_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact repeated n-gram spans (Lee et al. 2021 exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+SPAN_N = 10          # token width of the repeated-span detector
+SPAN_SKETCH_BINS = 1 << 20
+
+
+def repeated_ngram_spans(sf_dir: str):
+    """→ (gram_hash, doc_id, pos): every occurrence of a ``SPAN_N``-token
+    gram that appears in ≥ 2 DISTINCT documents — the exact-substring
+    duplication signal of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., ACL 2022): repeated spans (boilerplate,
+    licenses, quoted chains) are cut at span granularity where
+    whole-document Jaccard dedup keeps both documents.
+
+    Scale shape: the gram stream is one row per token (the same cost
+    class as the posting build itself), so before the shuffle a 4 MB
+    hashed-counter sketch (two cheap corpus passes, the ``_df_sketch``
+    pattern) drops every gram whose bin count is 1 — provably unique,
+    and collisions only let extra singletons THROUGH to the exact
+    ``groupby(gram_hash)``, never drop a true repeat.  The groupby then
+    keeps groups spanning ≥ 2 docs; output is |repeated spans|, not the
+    corpus.  ``gram_hash`` is md5 of the space-joined gram — the same
+    value DuckDB's ``md5()`` computes, so the oracle matches by
+    construction."""
+    import ray
+
+    def _doc_grams(text: str):
+        toks = tokenize_simple(text or "")
+        if len(toks) < SPAN_N:
+            return []
+        return [" ".join(toks[i:i + SPAN_N])
+                for i in range(len(toks) - SPAN_N + 1)]
+
+    def _bins(grams: list[str]) -> np.ndarray:
+        if not grams:
+            return np.zeros(0, dtype=np.int64)
+        return ((hash64_batch([g.encode() for g in grams])
+                 % np.uint64(SPAN_SKETCH_BINS)).astype(np.int64))
+
+    # pass 1: hashed gram-occurrence counts → sparse partials → dense
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        counts = np.zeros(SPAN_SKETCH_BINS, dtype=np.int64)
+        for t in b["text"].to_pylist():
+            bins = _bins(_doc_grams(t))
+            if len(bins):
+                np.add.at(counts, bins, 1)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "c": pa.array(counts[nz], pa.int64())})
+
+    sparse = (_read_docs(sf_dir)
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("bin", num_partitions=JOIN_PARTITIONS)
+              .aggregate(Sum("c", alias_name="c")).materialize())
+    sketch = np.zeros(SPAN_SKETCH_BINS, dtype=np.uint32)
+    for b in sparse.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if b.num_rows:
+            sketch[b["bin"].to_numpy()] = np.minimum(
+                b["c"].to_numpy(), np.iinfo(np.uint32).max
+            ).astype(np.uint32)
+    sketch_ref = ray.put(sketch)
+
+    # pass 2: emit only grams whose bin count ≥ 2, then exact multi-doc
+    # filtering in one co-partitioned groupby
+    import hashlib
+
+    def emit(b: pa.Table) -> pa.Table:
+        sk = ray.get(sketch_ref)
+        out_h, out_d, out_p = [], [], []
+        for d, t in zip(b["doc_id"].to_numpy(), b["text"].to_pylist()):
+            grams = _doc_grams(t)
+            if not grams:
+                continue
+            bins = _bins(grams)
+            for p in np.flatnonzero(sk[bins] >= 2):
+                out_h.append(hashlib.md5(
+                    grams[int(p)].encode("utf-8")).hexdigest())
+                out_d.append(int(d))
+                out_p.append(int(p))
+        return pa.table({"gram_hash": pa.array(out_h, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "pos": pa.array(out_p, pa.int64())})
+
+    def multi_doc(g: pa.Table) -> pa.Table:
+        empty = pa.schema([("gram_hash", pa.string()),
+                           ("doc_id", pa.int64()),
+                           ("pos", pa.int64())]).empty_table()
+        if g.num_rows == 0:
+            return empty
+        docs = g["doc_id"].to_numpy()
+        return g if len(np.unique(docs)) >= 2 else empty
+
+    return (_read_docs(sf_dir)
+            .map_batches(emit, batch_format="pyarrow")
+            .groupby("gram_hash", num_partitions=JOIN_PARTITIONS)
+            .map_groups(multi_doc, batch_format="pyarrow"))
+
+
+def repeated_ngram_spans_sql() -> str:
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(COALESCE(text, '')),
+                                      '[^a-z0-9]+')) AS term,
+         unnest(generate_series(1, len(regexp_split_to_array(
+             lower(COALESCE(text, '')), '[^a-z0-9]+')))) AS ord
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM raw WHERE term <> ''
+),
+grams AS (
+  SELECT doc_id, pos,
+         md5(string_agg(term, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND {SPAN_N - 1} FOLLOWING))
+           AS gram_hash,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM toks
+),
+valid AS (SELECT gram_hash, doc_id, pos FROM grams
+          WHERE pos <= n - {SPAN_N}),
+multi AS (SELECT gram_hash FROM valid GROUP BY gram_hash
+          HAVING count(DISTINCT doc_id) >= 2)
+SELECT v.gram_hash, v.doc_id, v.pos FROM valid v
+JOIN multi USING (gram_hash) ORDER BY gram_hash, doc_id, pos
+"""

@@ -178,3 +178,35 @@ def test_label_propagation_paths_identical(ray_session, tmp_path,
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(fast, dist)
     assert set(fast["cluster_id"]) >= {0, 4}     # two planted components
+
+
+def test_repeated_ngram_spans_planted(ray_session, tmp_path):
+    """Exact repeated-span detection (Lee et al. exact-substring signal):
+    engine == DuckDB oracle on a corpus with one long shared span."""
+    import duckdb
+
+    from open_source_search_engine_ray.pipelines import dedup
+
+    boiler = " ".join(f"shared{i:02d}" for i in range(15))
+    texts = [f"{boiler} unique tail alpha",
+             f"prefix here {boiler} suffix",
+             "no repeats in this document at all whatsoever truly none",
+             None]
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "lang": pa.array(["en"] * 4),
+        "text": pa.array(texts, pa.string()),
+    }), f"{sf}/documents.parquet")
+
+    got = dedup.repeated_ngram_spans(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(dedup.repeated_ngram_spans_sql()).df()
+    cols = sorted(want.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the 15-token boiler yields 6 shared 10-grams in each of docs 0,1
+    assert len(got) == 12
