@@ -107,7 +107,6 @@ def _attach_blobs(cand, cand_schema: pa.Schema, key_col: str, sets,
     names = list(cand_schema.names)
     types = list(cand_schema.types)
     shs_col, n_col = f"shs{suffix}", f"n{suffix}"
-    out_names = names + [shs_col, n_col]
     out_schema = pa.schema(list(zip(names, types)) +
                            [(shs_col, pa.binary()), (n_col, pa.int64())])
     tag_schema = pa.schema([("bucket", pa.int64())] +

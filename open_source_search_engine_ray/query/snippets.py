@@ -175,7 +175,7 @@ def export_snippets(index_dir: str, queries: list[tuple[str, str, int]],
                 "doc_id": pa.array(kdoc[rep].astype(np.int64)),
                 "score": pa.array(out["score"], pa.float64()),
                 "conv_id": rep_t["conv_id"],
-                "turn_idx": pa.compute.cast(rep_t["turn_idx"], pa.int32()),
+                "turn_idx": pc.cast(rep_t["turn_idx"], pa.int32()),
                 "role": rep_t["role"],
                 "text": rep_t["text"],
                 "gen": pa.array(np.full(len(rep), _g, np.int32)),
