@@ -182,6 +182,14 @@ def classify(text: str) -> tuple[str, float]:
                 script_hits[lang] += 1
                 break
     if script_hits and n_alpha:
+        # kana presence decides Japanese BEFORE the plurality vote:
+        # formal-register Japanese is routinely kanji-heavy, so a
+        # CJK-majority count would mislabel it Chinese; any material
+        # kana signal is unambiguous
+        ja_hits = script_hits.get("ja", 0)
+        cjk_like = ja_hits + script_hits.get("zh", 0)
+        if ja_hits >= 2 and n_alpha and cjk_like / n_alpha >= 0.3:
+            return "ja", round(min(1.0, cjk_like / n_alpha), 6)
         lang, hits = script_hits.most_common(1)[0]
         share = hits / n_alpha
         if share >= 0.3:

@@ -391,7 +391,18 @@ def _build_small_fused(table: pa.Table, out_dir: str, config: IndexConfig,
 
     # doc stats — the same groupby the spill writers run, then dl_q
     t = time.time()
-    df = pa.concat_tables(stats_parts).to_pandas()
+    if stats_parts:
+        df = pa.concat_tables(stats_parts).to_pandas()
+    else:
+        # zero-row generation (an empty incremental feed): commit an
+        # empty-but-typed generation rather than crash on concat
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="uint64"),
+            "conv_id": pd.Series([], dtype="object"),
+            **{f"len_f{f}": pd.Series([], dtype="int64")
+               for f in range(NUM_FIELDS)}})
     agg = {f"len_f{f}": "sum" for f in range(NUM_FIELDS)}
     agg["conv_id"] = "min"
     stats_df = df.groupby("doc_id", as_index=False).agg(agg)

@@ -62,8 +62,16 @@ _CURATED_CACHE: dict = {}
 def _corpus_key(sf_dir: str):
     import os
 
+    import ray
+
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    return (os.path.abspath(sf_dir), st.st_mtime_ns, st.st_size)
+    # the Ray job id is part of the key: a MaterializedDataset's blocks
+    # die with their Ray session, so a hit from before a
+    # ray.shutdown()/ray.init() cycle must MISS (and recompute) instead
+    # of returning dead object references
+    job = (ray.get_runtime_context().get_job_id()
+           if ray.is_initialized() else None)
+    return (os.path.abspath(sf_dir), st.st_mtime_ns, st.st_size, job)
 
 
 def curate_corpus(sf_dir: str):

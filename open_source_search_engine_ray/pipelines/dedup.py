@@ -614,26 +614,33 @@ def label_propagation_components(pairs_ds, max_rounds: int = 4096):
     # in the group kernel) — see _attach_blobs for why Dataset.join is
     # avoided.  Every src is guaranteed a label (labels are seeded from
     # the same edge set), so the lookup is total.
+    # explicit is_label tag (NOT an in-band lbl sentinel, which would
+    # collide with legitimate negative doc_ids/cluster labels)
     def _tag_edges(b: pa.Table) -> pa.Table:
         src = b["src"].to_numpy().astype(np.int64)
+        n = len(src)
         return pa.table({
             "bucket": pa.array(src % JOIN_PARTITIONS, pa.int64()),
             "key": pa.array(src), "dst": b["dst"],
-            "lbl": pa.array(np.full(len(src), -1, np.int64))})
+            "lbl": pa.array(np.zeros(n, np.int64)),
+            "is_label": pa.array(np.zeros(n, np.int64))})
 
     def _tag_labels(b: pa.Table) -> pa.Table:
         b = _retype(_lbl_schema)(b)
         ids = b["doc_id"].to_numpy().astype(np.int64)
+        n = len(ids)
         return pa.table({
             "bucket": pa.array(ids % JOIN_PARTITIONS, pa.int64()),
             "key": pa.array(ids),
-            "dst": pa.array(np.full(len(ids), -1, np.int64)),
-            "lbl": b["cluster_id"]})
+            "dst": pa.array(np.zeros(n, np.int64)),
+            "lbl": b["cluster_id"],
+            "is_label": pa.array(np.ones(n, np.int64))})
 
     def _propagate(g: pa.Table) -> pa.Table:
+        is_label = g["is_label"].to_numpy()
         lbl = g["lbl"].to_numpy()
-        lab_rows = np.flatnonzero(lbl >= 0)
-        edge_rows = np.flatnonzero(lbl < 0)
+        lab_rows = np.flatnonzero(is_label == 1)
+        edge_rows = np.flatnonzero(is_label == 0)
         if len(edge_rows) == 0 or len(lab_rows) == 0:
             return _lbl_schema.empty_table()
         keys = g["key"].to_numpy()

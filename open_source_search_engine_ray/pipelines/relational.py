@@ -263,16 +263,15 @@ def customers_without_orders(sf_dir: str):
                              ("c_acctbal", pa.float64())])
 
     def anti(g: pa.Table) -> pa.Table:
+        from ..query.kernel import in_sorted
+
         iso = g["is_o"].to_numpy()
         keys = g["key"].to_numpy()
         osort = np.sort(keys[iso == 1])
         crows = np.flatnonzero(iso == 0)
         if len(crows) == 0:
             return _out_schema.empty_table()
-        ck = keys[crows]
-        if len(osort):
-            idx = np.minimum(np.searchsorted(osort, ck), len(osort) - 1)
-            crows = crows[osort[idx] != ck]
+        crows = crows[~in_sorted(keys[crows], osort)]
         take = pa.array(crows)
         return pa.table({"c_nationkey": g["c_nationkey"].take(take),
                          "c_acctbal": g["c_acctbal"].take(take)})

@@ -54,9 +54,13 @@ def _truncate_postings(tp: TermPostings,
         flat, offs = tp.positions
         positions = ragged_select(flat, offs,
                                   np.arange(n_keep, dtype=np.int64))
+    # df stays the ORIGINAL term frequency: the reference caps the list
+    # READ, never the corpus df — rewriting df would inflate the idf of
+    # exactly the hot terms the cap truncates and let capped stopwords
+    # dominate the budgeted ranking
     return TermPostings(
         doc_ids=tp.doc_ids[:n_keep], tfs=tp.tfs[:n_keep],
-        dl=tp.dl[:n_keep], df=int(n_keep), positions=positions,
+        dl=tp.dl[:n_keep], df=int(tp.df), positions=positions,
         block_max=None), True
 
 
@@ -282,6 +286,12 @@ class IndexSearcher:
         if rerank == "proximity":
             from .kernel import evaluate_rerank
 
+            if doc_prior is not None:
+                # refusing beats silently ignoring the prior: the rerank
+                # boost and the static multiplier compose ambiguously
+                # (boost-then-multiply vs multiply-then-boost differ)
+                raise ValueError(
+                    "doc_prior is not supported with rerank='proximity'")
             return evaluate_rerank(pq_, lists, self.n_docs, self.avgdl,
                                    cfg, k, prune=prune,
                                    oversample=oversample)

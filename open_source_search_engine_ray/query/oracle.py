@@ -128,6 +128,9 @@ class OracleIndex:
         if rerank == "proximity":
             from .kernel import evaluate_rerank
 
+            if doc_prior is not None:
+                raise ValueError(
+                    "doc_prior is not supported with rerank='proximity'")
             return evaluate_rerank(pq, lists, self.n_docs, self.avgdl,
                                    cfg, k, prune=False,
                                    oversample=oversample)

@@ -148,14 +148,11 @@ def export_snippets(index_dir: str, queries: list[tuple[str, str, int]],
         gen_no = int(g["gen"])
 
         def fan(b: pa.Table, _g=gen_no) -> pa.Table:
+            from .kernel import in_sorted
+
             ids_sorted, meta = ray.get(hits_ref)
             doc = b["doc_id"].to_numpy().astype(np.int64)
-            if len(ids_sorted):
-                idx = np.minimum(np.searchsorted(ids_sorted, doc),
-                                 len(ids_sorted) - 1)
-                keep = np.flatnonzero(ids_sorted[idx] == doc)
-            else:
-                keep = np.zeros(0, dtype=np.int64)
+            keep = np.flatnonzero(in_sorted(doc, ids_sorted))
             if len(keep) == 0:
                 return _fan_schema.empty_table()
             kept = b.take(pa.array(keep))

@@ -140,7 +140,8 @@ class SpellSuggester:
     """
 
     def __init__(self, out_dir: str, max_edit: int = MAX_EDIT,
-                 prefix_len: int = PREFIX_LEN):
+                 prefix_len: int = PREFIX_LEN,
+                 index_terms: int = 200_000):
         path = _vocab_path(out_dir)
         if not os.path.exists(path):
             raise FileNotFoundError(
@@ -151,9 +152,15 @@ class SpellSuggester:
         self.cf_of = dict(zip(self.terms, (int(c) for c in self.cf)))
         self.max_edit = max_edit
         self.prefix_len = prefix_len
-        # delete-key -> vocab indices
+        # delete-key -> vocab indices, built over the POPULARITY HEAD
+        # only (the vocab file is cf-sorted): ~29 delete keys per term
+        # means a million-term index would be multi-GB of dict heap —
+        # suggestion dictionaries only ever want frequent words anyway
+        # (exactly the reference's popularity dictionary), so the cap
+        # keeps the structure genuinely broadcast-sized while the FULL
+        # vocab stays available for in-vocabulary membership checks
         self.index: dict[str, list[int]] = {}
-        for i, w in enumerate(self.terms):
+        for i, w in enumerate(self.terms[:index_terms]):
             for d in _deletes(w, max_edit, prefix_len):
                 self.index.setdefault(d, []).append(i)
 

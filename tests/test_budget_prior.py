@@ -99,7 +99,8 @@ def test_budget_list_cap_partial_and_bounded(bp_index):
     assert full is not None and full.df > 64
     cap = 64 * 24
     trunc, was_cut = _truncate_postings(full, cap)
-    assert was_cut and trunc.df < full.df
+    assert was_cut and len(trunc.doc_ids) < len(full.doc_ids)
+    assert trunc.df == full.df     # read cap never rewrites corpus df
     docs, scores, partial = se.search_budgeted("the", 10,
                                                max_list_bytes=cap)
     assert partial
