@@ -775,6 +775,19 @@ def build_index(transcripts_ds_factory, out_dir: str,
                 if sch is not None:
                     small_table = pa.schema(
                         list(zip(sch.names, sch.types))).empty_table()
+                else:
+                    # an all-empty Dataset loses its schema entirely —
+                    # fall back to the library's transcripts contract
+                    # (sources/transcripts.py) so a zero-row generation
+                    # still commits
+                    small_table = pa.schema([
+                        ("conv_id", pa.string()),
+                        ("turn_idx", pa.int32()),
+                        ("role", pa.string()),
+                        ("text", pa.string()),
+                        ("tool", pa.string()),
+                        ("ts", pa.timestamp("us")),
+                    ]).empty_table()
 
     if small_table is not None:
         summary, stats = _build_small_fused(

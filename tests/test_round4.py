@@ -210,3 +210,24 @@ def test_repeated_ngram_spans_planted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # the 15-token boiler yields 6 shared 10-grams in each of docs 0,1
     assert len(got) == 12
+
+
+def test_add_documents_empty_generation(ray_session, tmp_path):
+    """A zero-row incremental feed commits an empty generation instead of
+    crashing, and queries are unchanged."""
+    from open_source_search_engine_ray.index.build import build_index
+    from open_source_search_engine_ray.index.merge import add_documents
+    from open_source_search_engine_ray.query.engine import IndexSearcher
+    from open_source_search_engine_ray.sources.transcripts import (
+        transcripts_dataset, transcripts_dataset_range)
+
+    idx = str(tmp_path / "idx")
+    build_index(lambda: transcripts_dataset(100), idx,
+                input_token="synthetic:n=100")
+    before = IndexSearcher(idx).search("w0042", 5)
+
+    add_documents(idx, lambda: transcripts_dataset_range(100, 100),
+                  input_token="empty-gen")
+    after = IndexSearcher(idx).search("w0042", 5)
+    assert list(before[0]) == list(after[0])
+    assert list(before[1]) == list(after[1])
