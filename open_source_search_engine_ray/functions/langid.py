@@ -184,11 +184,16 @@ def classify(text: str) -> tuple[str, float]:
     if script_hits and n_alpha:
         # kana presence decides Japanese BEFORE the plurality vote:
         # formal-register Japanese is routinely kanji-heavy, so a
-        # CJK-majority count would mislabel it Chinese; any material
-        # kana signal is unambiguous
+        # CJK-majority count would mislabel it Chinese.  The kana share
+        # is measured RELATIVE to the CJK mass (≥5%) so a Chinese text
+        # quoting a short katakana name doesn't flip — kanji-heavy
+        # Japanese still clears the bar easily (okurigana/particles put
+        # real Japanese well above 10% kana)
         ja_hits = script_hits.get("ja", 0)
         cjk_like = ja_hits + script_hits.get("zh", 0)
-        if ja_hits >= 2 and n_alpha and cjk_like / n_alpha >= 0.3:
+        if (ja_hits >= 2 and cjk_like and n_alpha
+                and cjk_like / n_alpha >= 0.3
+                and ja_hits / cjk_like >= 0.05):
             return "ja", round(min(1.0, cjk_like / n_alpha), 6)
         lang, hits = script_hits.most_common(1)[0]
         share = hits / n_alpha

@@ -391,32 +391,34 @@ def _build_small_fused(table: pa.Table, out_dir: str, config: IndexConfig,
 
     # doc stats — the same groupby the spill writers run, then dl_q
     t = time.time()
-    if stats_parts:
-        df = pa.concat_tables(stats_parts).to_pandas()
-    else:
-        # zero-row generation (an empty incremental feed): commit an
-        # empty-but-typed generation rather than crash on concat
-        import pandas as pd
-
-        df = pd.DataFrame({
-            "doc_id": pd.Series([], dtype="uint64"),
-            "conv_id": pd.Series([], dtype="object"),
-            **{f"len_f{f}": pd.Series([], dtype="int64")
-               for f in range(NUM_FIELDS)}})
-    agg = {f"len_f{f}": "sum" for f in range(NUM_FIELDS)}
-    agg["conv_id"] = "min"
-    stats_df = df.groupby("doc_id", as_index=False).agg(agg)
     wq = np.asarray([int(round(w * 4)) for w in config.field_weights],
                     dtype=np.int64)
-    lens = stats_df[[f"len_f{f}" for f in range(NUM_FIELDS)]].to_numpy()
-    stats_df = stats_df.assign(dl_q=lens @ wq)
+    if stats_parts:
+        df = pa.concat_tables(stats_parts).to_pandas()
+        agg = {f"len_f{f}": "sum" for f in range(NUM_FIELDS)}
+        agg["conv_id"] = "min"
+        stats_df = df.groupby("doc_id", as_index=False).agg(agg)
+        lens = stats_df[[f"len_f{f}"
+                         for f in range(NUM_FIELDS)]].to_numpy()
+        stats_df = stats_df.assign(dl_q=lens @ wq)
+        stats_tbl = pa.Table.from_pandas(stats_df, preserve_index=False)
+    else:
+        # zero-row generation (an empty incremental feed): take the
+        # TYPED empty stats straight from the tokenizer (a pandas
+        # round-trip would degrade conv_id to Arrow null and diverge
+        # from every sibling generation's docstats schema)
+        stats_tbl = (tok.process(table.slice(0, 0))[1]
+                     .append_column("dl_q", pa.array([], pa.int64())))
+        import pandas as pd
+
+        stats_df = pd.DataFrame({"doc_id": pd.Series([], dtype="uint64"),
+                                 "dl_q": pd.Series([], dtype="int64")})
     ds_dir = os.path.join(out_dir, "docstats")
     import shutil
 
     shutil.rmtree(ds_dir, ignore_errors=True)
     os.makedirs(ds_dir, exist_ok=True)
-    pq.write_table(pa.Table.from_pandas(stats_df, preserve_index=False),
-                   os.path.join(ds_dir, "part-0.parquet"))
+    pq.write_table(stats_tbl, os.path.join(ds_dir, "part-0.parquet"))
     _mark_stage(out_dir, "docstats", fingerprint)
     doc_ids = stats_df["doc_id"].to_numpy().astype(np.uint64)
     order = np.argsort(doc_ids)
@@ -443,10 +445,18 @@ def _build_small_fused(table: pa.Table, out_dir: str, config: IndexConfig,
         _mark_stage(out_dir, "docstore", fingerprint)
     phase_sec["docstore"] = round(time.time() - t, 3)
 
-    # attach dl + encode every shard in-process
+    # attach dl + encode every shard in-process.  salt_all layouts get
+    # their full (term % P) * S + doc % S shard fan; dlparts are not
+    # written — they exist solely for DISTRIBUTED encode tasks to load
+    # 1/S of the corpus lengths, and this path holds all lengths
+    # in-memory already (nothing reads a generation's dlparts after its
+    # own build)
     t = time.time()
     summary: list[dict] = []
-    all_shards = list(range(config.num_partitions))
+    if config.salt_all_terms:
+        all_shards = list(range(config.num_partitions * config.num_salts))
+    else:
+        all_shards = list(range(config.num_partitions))
     if postings_parts:
         postings = pa.concat_tables(postings_parts)
         doc = postings["doc_id"].to_numpy().astype(np.uint64)
@@ -758,7 +768,7 @@ def build_index(transcripts_ds_factory, out_dir: str,
 
     small_table = None
     if (small_input_max_rows and config.build_strategy == "spill"
-            and not config.salt_all_terms and not resume):
+            and not resume):
         # probe + fetch in ONE input execution: limit(N+1) stops early on
         # a big input (cheap probe), and when the input IS small the
         # materialized probe already holds every row — no second pass
@@ -778,16 +788,10 @@ def build_index(transcripts_ds_factory, out_dir: str,
                 else:
                     # an all-empty Dataset loses its schema entirely —
                     # fall back to the library's transcripts contract
-                    # (sources/transcripts.py) so a zero-row generation
-                    # still commits
-                    small_table = pa.schema([
-                        ("conv_id", pa.string()),
-                        ("turn_idx", pa.int32()),
-                        ("role", pa.string()),
-                        ("text", pa.string()),
-                        ("tool", pa.string()),
-                        ("ts", pa.timestamp("us")),
-                    ]).empty_table()
+                    # so a zero-row generation still commits
+                    from ..sources.transcripts import TRANSCRIPTS_SCHEMA
+
+                    small_table = TRANSCRIPTS_SCHEMA.empty_table()
 
     if small_table is not None:
         summary, stats = _build_small_fused(

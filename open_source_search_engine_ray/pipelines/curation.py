@@ -77,6 +77,14 @@ def _corpus_key(sf_dir: str):
 def curate_corpus(sf_dir: str):
     """→ (doc_id, lang, n_tokens) of the documents that survive all four
     curation gates, in corpus order (materialized + cached per corpus)."""
+    import ray
+
+    if not ray.is_initialized():
+        # no session yet → no usable job id in the key; caching here
+        # would hand a later (re-initialized) session dead object refs —
+        # compute without touching the cache (materialize() auto-inits,
+        # so the NEXT call keys on a real job id and caches normally)
+        return _curate_pipeline(sf_dir).materialize()
     key = _corpus_key(sf_dir)
     hit = _CURATED_CACHE.get(key)
     if hit is not None:

@@ -262,6 +262,13 @@ class IndexSearcher:
         (functions/wiki_phrases.py; ``PosdbTable.cpp:436``)."""
         from dataclasses import replace
 
+        if rerank == "proximity" and doc_prior is not None:
+            # refusing beats silently ignoring the prior: the rerank
+            # boost and the static multiplier compose ambiguously
+            # (boost-then-multiply vs multiply-then-boost differ) —
+            # validated BEFORE any list fetch
+            raise ValueError(
+                "doc_prior is not supported with rerank='proximity'")
         if synonyms == "default":
             from ..functions.synonyms import DEFAULT_SYNONYMS
             synonyms = DEFAULT_SYNONYMS
@@ -286,12 +293,6 @@ class IndexSearcher:
         if rerank == "proximity":
             from .kernel import evaluate_rerank
 
-            if doc_prior is not None:
-                # refusing beats silently ignoring the prior: the rerank
-                # boost and the static multiplier compose ambiguously
-                # (boost-then-multiply vs multiply-then-boost differ)
-                raise ValueError(
-                    "doc_prior is not supported with rerank='proximity'")
             return evaluate_rerank(pq_, lists, self.n_docs, self.avgdl,
                                    cfg, k, prune=prune,
                                    oversample=oversample)

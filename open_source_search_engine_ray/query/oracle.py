@@ -111,6 +111,9 @@ class OracleIndex:
                doc_prior=None):
         from dataclasses import replace
 
+        if rerank == "proximity" and doc_prior is not None:
+            raise ValueError(
+                "doc_prior is not supported with rerank='proximity'")
         if synonyms == "default":
             from ..functions.synonyms import DEFAULT_SYNONYMS
             synonyms = DEFAULT_SYNONYMS
@@ -128,9 +131,6 @@ class OracleIndex:
         if rerank == "proximity":
             from .kernel import evaluate_rerank
 
-            if doc_prior is not None:
-                raise ValueError(
-                    "doc_prior is not supported with rerank='proximity'")
             return evaluate_rerank(pq, lists, self.n_docs, self.avgdl,
                                    cfg, k, prune=False,
                                    oversample=oversample)

@@ -116,6 +116,18 @@ def _turn_text(rng: np.random.Generator, i: int, t: int, role: str,
     return " ".join(parts)
 
 
+# the transcripts input contract (input_hint): every source and every
+# zero-row fallback must produce exactly this schema
+TRANSCRIPTS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+])
+
+
 def generate_conv_rows(conv_indices: np.ndarray) -> pa.Table:
     """Rows for the given conversation indices (pure, deterministic)."""
     conv_id, turn_idx, role, text, tool, ts = [], [], [], [], [], []
@@ -141,7 +153,7 @@ def generate_conv_rows(conv_indices: np.ndarray) -> pa.Table:
         "text": pa.array(text, pa.string()),
         "tool": pa.array(tool, pa.string()),
         "ts": pa.array(ts, pa.timestamp("us")),
-    })
+    }).cast(TRANSCRIPTS_SCHEMA)
 
 
 def _gen_batch(batch: pa.Table) -> pa.Table:

@@ -231,3 +231,51 @@ def test_add_documents_empty_generation(ray_session, tmp_path):
     after = IndexSearcher(idx).search("w0042", 5)
     assert list(before[0]) == list(after[0])
     assert list(before[1]) == list(after[1])
+
+
+def test_small_build_salt_all_rank_identical_and_empty_gen(ray_session,
+                                                           tmp_path):
+    """The small-generation fast path must also serve salt_all_terms
+    layouts (full P*S shard fan, dl attached in-memory) rank-identically,
+    and an EMPTY generation into a salt_all index must commit."""
+    from open_source_search_engine_ray.config import IndexConfig
+    from open_source_search_engine_ray.index.build import build_index
+    from open_source_search_engine_ray.index.merge import add_documents
+    from open_source_search_engine_ray.query.engine import IndexSearcher
+    from open_source_search_engine_ray.query.oracle import OracleIndex
+    from open_source_search_engine_ray.sources.queryset import query_set
+    from open_source_search_engine_ray.sources.transcripts import (
+        transcripts_dataset, transcripts_dataset_range, transcripts_table)
+
+    idx = str(tmp_path / "sa")
+    build_index(lambda: transcripts_dataset(120), idx,
+                IndexConfig(salt_all_terms=True),
+                input_token="synthetic:n=120",
+                small_input_max_rows=100_000)
+    se = IndexSearcher(idx)
+    orc = OracleIndex(transcripts_table(120))
+    for qid, q, k in query_set()[:8]:
+        d1, s1 = se.search(q, k)
+        d2, s2 = orc.search(q, k)
+        assert list(d1) == list(d2) and list(s1) == list(s2), (qid, q)
+
+    before = se.search("w0042", 5)
+    add_documents(idx, lambda: transcripts_dataset_range(120, 120),
+                  input_token="empty-gen-saltall")
+    after = IndexSearcher(idx).search("w0042", 5)
+    assert list(before[0]) == list(after[0])
+    assert list(before[1]) == list(after[1])
+
+
+def test_langid_zh_with_katakana_trace_stays_zh():
+    """A Chinese document quoting a short katakana name must NOT flip to
+    Japanese; kanji-heavy Japanese (real kana share) must stay ja."""
+    from open_source_search_engine_ray.functions.langid import classify
+
+    zh_with_brand = ("实验结果发表在期刊上并且表明该方法对于大型输入效果良好"
+                     "研究人员使用了トヨタ公司的数据进行了验证分析"
+                     "总体而言这一方法在实际应用中表现出色值得推广")
+    assert classify(zh_with_brand)[0] == "zh"
+    formal_ja = ("経済産業省は本日、半導体産業支援策を発表した。"
+                 "政府関係者によると予算規模は過去最大となる。")
+    assert classify(formal_ja)[0] == "ja"
