@@ -199,3 +199,73 @@ class DistributedSearcher:
                     self._cache.put((tid, wp), hit)
                 lists[tid] = hit
         return evaluate(pq_, lists, self.n_docs, self.avgdl, self.config, k)
+
+    def search_budgeted(self, query: str, k: int = 10,
+                        timeout_ms: float | None = None,
+                        max_list_bytes: int | None = None):
+        """Budgeted distributed search → ``(doc_ids, scores, partial)``
+        — the fan-out twin of ``IndexSearcher.search_budgeted``, and the
+        closest analogue of the reference's behavior: ``Msg39`` launches
+        every termlist request concurrently and the DEADLINE gates the
+        collection (``Msg39.cpp:429-444``), while the per-term byte cap
+        truncates each merged docId-ordered list
+        (``PosdbTable.cpp:1975-1981``).  Terms whose fetches miss the
+        deadline evaluate as absent; any truncation or timeout sets
+        ``partial=True``.  Results are exact over the surviving lists."""
+        import time
+
+        import ray
+
+        from .engine import _truncate_postings
+
+        deadline = (time.monotonic() + timeout_ms / 1000.0
+                    if timeout_ms is not None else None)
+        pq_ = parse_query(query, self.config.bigram_weight,
+                          position_mode=self.config.position_mode)
+        phrase_terms = pq_.position_term_ids()
+        futures: dict[int, list] = {}
+        for t in pq_.terms:
+            tid = t.term_id
+            wp = tid in phrase_terms
+            cached = ((tid, True) in self._cache
+                      or (not wp and (tid, False) in self._cache))
+            if tid in futures or cached:
+                continue
+            futures[tid] = [
+                self._servers[s].get_parts.remote(tid, wp)
+                for s in self._servers_for_term(tid)]
+        partial = False
+        lists: dict[int, TermPostings | None] = {}
+        for t in pq_.terms:
+            tid = t.term_id
+            if tid in lists:
+                continue
+            wp = tid in phrase_terms
+            tp = self._cache.get((tid, True), MISSING)
+            if tp is MISSING and not wp:
+                tp = self._cache.get((tid, False), MISSING)
+            if tp is MISSING:
+                fut = futures.get(tid)
+                if fut is None:     # evicted between fan-out and collect
+                    fut = [self._servers[s].get_parts.remote(tid, wp)
+                           for s in self._servers_for_term(tid)]
+                try:
+                    remaining = (None if deadline is None else
+                                 max(0.0, deadline - time.monotonic()))
+                    if remaining is not None and remaining == 0.0:
+                        raise ray.exceptions.GetTimeoutError("deadline")
+                    chunks = ray.get(fut, timeout=remaining)
+                except ray.exceptions.GetTimeoutError:
+                    lists[tid] = None
+                    partial = True
+                    continue
+                parts = [p for chunk in chunks for p in chunk]
+                tp = self._merge_parts(parts, wp)
+                self._cache.put((tid, wp), tp)
+            if tp is not None and max_list_bytes is not None:
+                tp, cut = _truncate_postings(tp, max_list_bytes)
+                partial = partial or cut
+            lists[tid] = tp
+        docs, scores = evaluate(pq_, lists, self.n_docs, self.avgdl,
+                                self.config, k, prune=not partial)
+        return docs, scores, partial

@@ -107,3 +107,25 @@ def test_budget_list_cap_partial_and_bounded(bp_index):
     prefix = set(int(d) for d in trunc.doc_ids)
     assert len(docs) > 0
     assert all(int(d) in prefix for d in docs)
+
+
+def test_distributed_budgeted_matches_driver(bp_index):
+    """DistributedSearcher.search_budgeted must equal the driver-side
+    budgeted search for the same byte cap, and equal unbudgeted search
+    under a generous deadline."""
+    from open_source_search_engine_ray.query.distributed import (
+        DistributedSearcher)
+
+    se = _searcher(bp_index)
+    ds = DistributedSearcher(bp_index, n_servers=2)
+
+    d0, s0 = se.search("w0042 w0007", 10)
+    d1, s1, p1 = ds.search_budgeted("w0042 w0007", 10, timeout_ms=60_000)
+    assert not p1
+    assert list(d0) == list(d1) and list(s0) == list(s1)
+
+    cap = 64 * 24
+    da, sa, pa_ = se.search_budgeted("the", 10, max_list_bytes=cap)
+    db, sb, pb = ds.search_budgeted("the", 10, max_list_bytes=cap)
+    assert pa_ and pb
+    assert list(da) == list(db) and list(sa) == list(sb)
