@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_docs": dedup.simhash_docs,
         "repeated_ngram_spans": dedup.repeated_ngram_spans,
+        "remove_repeated_spans": dedup.remove_repeated_spans,
         # similarity search
         "cosine_topk": similarity.cosine_topk,
         "lsh_cosine_topk": similarity.lsh_cosine_topk,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(),
         "repeated_ngram_spans": dedup.repeated_ngram_spans_sql(),
+        "remove_repeated_spans": dedup.remove_repeated_spans_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs_sql(),
         "token_stats": text_analysis.token_stats_sql(),

@@ -1017,3 +1017,117 @@ multi AS (SELECT gram_hash FROM valid GROUP BY gram_hash
 SELECT v.gram_hash, v.doc_id, v.pos FROM valid v
 JOIN multi USING (gram_hash) ORDER BY gram_hash, doc_id, pos
 """
+
+
+def remove_repeated_spans(sf_dir: str):
+    """→ (doc_id, text_dedup): the corpus with every NON-FIRST occurrence
+    of a repeated ``SPAN_N``-token gram cut out — the exact-substring
+    dedup TRANSFORM of Lee et al. (ACL 2022), keeping the globally first
+    (min (doc_id, pos)) occurrence of each repeated span and splicing the
+    survivors' tokens back together.  Every document appears in the
+    output (untouched docs pass through token-normalized; empty/NULL
+    docs become '').
+
+    Scale shape: occurrence detection is :func:`repeated_ngram_spans`
+    (sketch-prefiltered); canonical selection is one groupby over
+    |repeated spans| rows; the text surgery co-partitions the (small)
+    removal list with the documents by doc bucket — the corpus text
+    shuffles exactly once."""
+    _rm_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+
+    def drop_canonical(g: pa.Table) -> pa.Table:
+        if g.num_rows <= 1:
+            return _rm_schema.empty_table()
+        d = g["doc_id"].to_numpy()
+        p = g["pos"].to_numpy()
+        order = np.lexsort((p, d))
+        keep = order[1:]                 # all but the lexicographic min
+        return pa.table({"doc_id": pa.array(d[keep].astype(np.int64)),
+                         "pos": pa.array(p[keep].astype(np.int64))})
+
+    removed = (repeated_ngram_spans(sf_dir)
+               .groupby("gram_hash", num_partitions=JOIN_PARTITIONS)
+               .map_groups(drop_canonical, batch_format="pyarrow"))
+
+    RM_BUCKETS = 64
+    tag_schema = pa.schema([("bucket", pa.int64()), ("doc_id", pa.int64()),
+                            ("pos", pa.int64()), ("text", pa.string()),
+                            ("is_doc", pa.int64())])
+
+    def tag_rm(b: pa.Table) -> pa.Table:
+        b = _retype(_rm_schema)(b)
+        ids = b["doc_id"].to_numpy()
+        return pa.table({
+            "bucket": pa.array(ids % RM_BUCKETS, pa.int64()),
+            "doc_id": b["doc_id"], "pos": b["pos"],
+            "text": pa.nulls(len(ids), pa.string()),
+            "is_doc": pa.array(np.zeros(len(ids), np.int64)),
+        }).cast(tag_schema)
+
+    def tag_doc(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(ids % RM_BUCKETS, pa.int64()),
+            "doc_id": pa.array(ids), "pos": pa.array(
+                np.full(len(ids), -1, np.int64)),
+            "text": b["text"],
+            "is_doc": pa.array(np.ones(len(ids), np.int64)),
+        }).cast(tag_schema)
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("text_dedup", pa.string())])
+
+    def cut(g: pa.Table) -> pa.Table:
+        is_doc = g["is_doc"].to_numpy()
+        doc_rows = np.flatnonzero(is_doc == 1)
+        if len(doc_rows) == 0:
+            return out_schema.empty_table()
+        ids = g["doc_id"].to_numpy()
+        rm_by_doc: dict[int, list[int]] = {}
+        for i in np.flatnonzero(is_doc == 0):
+            rm_by_doc.setdefault(int(ids[i]), []).append(
+                int(g["pos"][int(i)].as_py()))
+        texts = g["text"].to_pylist()
+        out_id, out_t = [], []
+        for i in doc_rows:
+            toks = tokenize_simple(texts[i] or "")
+            rms = rm_by_doc.get(int(ids[i]))
+            if rms and toks:
+                mask = np.zeros(len(toks), dtype=bool)
+                for p0 in rms:
+                    mask[p0:p0 + SPAN_N] = True
+                toks = [t for t, m in zip(toks, mask) if not m]
+            out_id.append(int(ids[i]))
+            out_t.append(" ".join(toks))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text_dedup": pa.array(out_t, pa.string())})
+
+    return (removed.map_batches(tag_rm, batch_format="pyarrow")
+            .union(_read_docs(sf_dir)
+                   .map_batches(tag_doc, batch_format="pyarrow"))
+            .groupby("bucket", num_partitions=RM_BUCKETS)
+            .map_groups(cut, batch_format="pyarrow"))
+
+
+def remove_repeated_spans_sql() -> str:
+    base = repeated_ngram_spans_sql()
+    # reuse the occurrence CTEs; swap the final SELECT for the transform
+    head = base[:base.index("SELECT v.gram_hash")].rstrip()
+    return head + ",\n" + f"""occ AS (
+  SELECT v.gram_hash, v.doc_id, v.pos,
+         row_number() OVER (PARTITION BY v.gram_hash
+                            ORDER BY v.doc_id, v.pos) AS rn
+  FROM valid v JOIN multi USING (gram_hash)),
+removed AS (SELECT DISTINCT doc_id, pos FROM occ WHERE rn > 1),
+kept AS (
+  SELECT t.doc_id, t.pos, t.term FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM removed r
+                    WHERE r.doc_id = t.doc_id
+                      AND t.pos BETWEEN r.pos AND r.pos + {SPAN_N - 1})
+)
+SELECT d.doc_id, COALESCE(o.text_dedup, '') AS text_dedup
+FROM documents d
+LEFT JOIN (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS text_dedup
+           FROM kept GROUP BY doc_id) o USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -279,3 +279,42 @@ def test_langid_zh_with_katakana_trace_stays_zh():
     formal_ja = ("経済産業省は本日、半導体産業支援策を発表した。"
                  "政府関係者によると予算規模は過去最大となる。")
     assert classify(formal_ja)[0] == "ja"
+
+
+def test_remove_repeated_spans_planted(ray_session, tmp_path):
+    """Span-removal transform: non-first occurrences of a repeated
+    10-gram are cut; first occurrence, clean docs and NULL docs match
+    the DuckDB oracle exactly."""
+    import duckdb
+
+    from open_source_search_engine_ray.pipelines import dedup
+
+    boiler = " ".join(f"shared{i:02d}" for i in range(15))
+    texts = [f"{boiler} unique tail alpha",
+             f"prefix here {boiler} suffix",
+             "clean document",
+             None,
+             f"third copy {boiler} also here"]
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "lang": pa.array(["en"] * 5),
+        "text": pa.array(texts, pa.string()),
+    }), f"{sf}/documents.parquet")
+
+    got = dedup.remove_repeated_spans(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(dedup.remove_repeated_spans_sql()).df()
+    cols = sorted(want.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    by_id = dict(zip(got["doc_id"], got["text_dedup"]))
+    assert by_id[0].startswith("shared00")       # first occurrence kept
+    assert "shared00" not in by_id[1]            # later occurrence cut
+    assert by_id[1].startswith("prefix here")    # surroundings survive
+    assert by_id[2] == "clean document"
+    assert by_id[3] == ""
