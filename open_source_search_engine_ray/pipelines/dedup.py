@@ -893,7 +893,7 @@ SPAN_N = 10          # token width of the repeated-span detector
 SPAN_SKETCH_BINS = 1 << 20
 
 
-def repeated_ngram_spans(sf_dir: str):
+def repeated_ngram_spans(sf_dir: str, *, _drop_canonical: bool = False):
     """→ (gram_hash, doc_id, pos): every occurrence of a ``SPAN_N``-token
     gram that appears in ≥ 2 DISTINCT documents — the exact-substring
     duplication signal of "Deduplicating Training Data Makes Language
@@ -910,7 +910,13 @@ def repeated_ngram_spans(sf_dir: str):
     keeps groups spanning ≥ 2 docs; output is |repeated spans|, not the
     corpus.  ``gram_hash`` is md5 of the space-joined gram — the same
     value DuckDB's ``md5()`` computes, so the oracle matches by
-    construction."""
+    construction.
+
+    ``_drop_canonical=True`` (internal, used by
+    :func:`remove_repeated_spans`) makes the SAME grouped stage emit
+    every occurrence EXCEPT each gram's lexicographic-min (doc_id, pos)
+    one — folding canonical selection into the detection groupby instead
+    of paying a second full shuffle on the same key."""
     import ray
 
     def _doc_grams(text: str):
@@ -979,7 +985,13 @@ def repeated_ngram_spans(sf_dir: str):
         if g.num_rows == 0:
             return empty
         docs = g["doc_id"].to_numpy()
-        return g if len(np.unique(docs)) >= 2 else empty
+        if len(np.unique(docs)) < 2:
+            return empty
+        if not _drop_canonical:
+            return g
+        pos = g["pos"].to_numpy()
+        order = np.lexsort((pos, docs))
+        return g.take(pa.array(order[1:]))
 
     return (_read_docs(sf_dir)
             .map_batches(emit, batch_format="pyarrow")
@@ -987,7 +999,10 @@ def repeated_ngram_spans(sf_dir: str):
             .map_groups(multi_doc, batch_format="pyarrow"))
 
 
-def repeated_ngram_spans_sql() -> str:
+def _span_cte_head() -> str:
+    """Shared WITH-chain (tokens → padded grams → valid occurrences →
+    multi-doc grams) used by BOTH span oracles; ends after the ``multi``
+    CTE, ready for composition with a trailing comma or SELECT."""
     return f"""
 WITH raw AS (
   SELECT doc_id,
@@ -1013,7 +1028,11 @@ grams AS (
 valid AS (SELECT gram_hash, doc_id, pos FROM grams
           WHERE pos <= n - {SPAN_N}),
 multi AS (SELECT gram_hash FROM valid GROUP BY gram_hash
-          HAVING count(DISTINCT doc_id) >= 2)
+          HAVING count(DISTINCT doc_id) >= 2)"""
+
+
+def repeated_ngram_spans_sql() -> str:
+    return _span_cte_head() + """
 SELECT v.gram_hash, v.doc_id, v.pos FROM valid v
 JOIN multi USING (gram_hash) ORDER BY gram_hash, doc_id, pos
 """
@@ -1028,28 +1047,19 @@ def remove_repeated_spans(sf_dir: str):
     output (untouched docs pass through token-normalized; empty/NULL
     docs become '').
 
-    Scale shape: occurrence detection is :func:`repeated_ngram_spans`
-    (sketch-prefiltered); canonical selection is one groupby over
-    |repeated spans| rows; the text surgery co-partitions the (small)
-    removal list with the documents by doc bucket — the corpus text
-    shuffles exactly once."""
-    _rm_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+    Scale shape: occurrence detection AND canonical selection share one
+    grouped stage (:func:`repeated_ngram_spans` with
+    ``_drop_canonical=True`` — no second shuffle on the same key); the
+    text surgery co-partitions the (small) removal list with the
+    documents by doc bucket, sized by :func:`_nbuckets` so a group's
+    text stays inside a worker heap at any corpus scale — the corpus
+    text shuffles exactly once."""
+    _rm_schema = pa.schema([("gram_hash", pa.string()),
+                            ("doc_id", pa.int64()), ("pos", pa.int64())])
 
-    def drop_canonical(g: pa.Table) -> pa.Table:
-        if g.num_rows <= 1:
-            return _rm_schema.empty_table()
-        d = g["doc_id"].to_numpy()
-        p = g["pos"].to_numpy()
-        order = np.lexsort((p, d))
-        keep = order[1:]                 # all but the lexicographic min
-        return pa.table({"doc_id": pa.array(d[keep].astype(np.int64)),
-                         "pos": pa.array(p[keep].astype(np.int64))})
+    removed = repeated_ngram_spans(sf_dir, _drop_canonical=True)
 
-    removed = (repeated_ngram_spans(sf_dir)
-               .groupby("gram_hash", num_partitions=JOIN_PARTITIONS)
-               .map_groups(drop_canonical, batch_format="pyarrow"))
-
-    RM_BUCKETS = 64
+    RM_BUCKETS = _nbuckets(sf_dir)
     tag_schema = pa.schema([("bucket", pa.int64()), ("doc_id", pa.int64()),
                             ("pos", pa.int64()), ("text", pa.string()),
                             ("is_doc", pa.int64())])
@@ -1083,10 +1093,10 @@ def remove_repeated_spans(sf_dir: str):
         if len(doc_rows) == 0:
             return out_schema.empty_table()
         ids = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
         rm_by_doc: dict[int, list[int]] = {}
         for i in np.flatnonzero(is_doc == 0):
-            rm_by_doc.setdefault(int(ids[i]), []).append(
-                int(g["pos"][int(i)].as_py()))
+            rm_by_doc.setdefault(int(ids[i]), []).append(int(pos[i]))
         texts = g["text"].to_pylist()
         out_id, out_t = [], []
         for i in doc_rows:
@@ -1105,15 +1115,12 @@ def remove_repeated_spans(sf_dir: str):
     return (removed.map_batches(tag_rm, batch_format="pyarrow")
             .union(_read_docs(sf_dir)
                    .map_batches(tag_doc, batch_format="pyarrow"))
-            .groupby("bucket", num_partitions=RM_BUCKETS)
+            .groupby("bucket", num_partitions=min(RM_BUCKETS, 512))
             .map_groups(cut, batch_format="pyarrow"))
 
 
 def remove_repeated_spans_sql() -> str:
-    base = repeated_ngram_spans_sql()
-    # reuse the occurrence CTEs; swap the final SELECT for the transform
-    head = base[:base.index("SELECT v.gram_hash")].rstrip()
-    return head + ",\n" + f"""occ AS (
+    return _span_cte_head() + ",\n" + f"""occ AS (
   SELECT v.gram_hash, v.doc_id, v.pos,
          row_number() OVER (PARTITION BY v.gram_hash
                             ORDER BY v.doc_id, v.pos) AS rn

@@ -152,53 +152,11 @@ class DistributedSearcher:
         return tp
 
     def search(self, query: str, k: int = 10):
-        import ray
-
-        pq_ = parse_query(query, self.config.bigram_weight,
-                          position_mode=self.config.position_mode)
-        phrase_terms = pq_.position_term_ids()
-        # fan out ALL term fetches concurrently (Msg2::getLists analogue)
-        futures: dict[int, list] = {}
-        for t in pq_.terms:
-            wp = t.term_id in phrase_terms
-            if t.term_id in futures or (t.term_id, True) in self._cache \
-                    or (not wp and (t.term_id, False) in self._cache):
-                continue
-            futures[t.term_id] = [
-                self._servers[s].get_parts.remote(t.term_id, wp)
-                for s in self._servers_for_term(t.term_id)]
-        lists: dict[int, TermPostings | None] = {}
-        for t in pq_.terms:
-            tid = t.term_id
-            if tid in lists:
-                continue
-            if tid in futures:
-                parts = [p for chunk in ray.get(futures[tid])
-                         for p in chunk]
-                wp = tid in phrase_terms
-                tp = self._merge_parts(parts, wp)
-                self._cache.put((tid, wp), tp)
-                lists[tid] = tp
-            else:
-                wp = tid in phrase_terms
-                hit = self._cache.get((tid, True), MISSING)
-                if hit is MISSING and not wp:
-                    # positionless entry suffices only for non-phrase
-                    # terms; a phrase term MUST have positions
-                    hit = self._cache.get((tid, False), MISSING)
-                if hit is MISSING:
-                    # cache hit at fan-out time but evicted since (another
-                    # term's put() can push this one out mid-query), or
-                    # only a positionless entry exists for a phrase term
-                    # — re-fetch rather than mis-score the term
-                    parts = [p for chunk in ray.get(
-                        [self._servers[s].get_parts.remote(tid, wp)
-                         for s in self._servers_for_term(tid)])
-                        for p in chunk]
-                    hit = self._merge_parts(parts, wp)
-                    self._cache.put((tid, wp), hit)
-                lists[tid] = hit
-        return evaluate(pq_, lists, self.n_docs, self.avgdl, self.config, k)
+        """Unbudgeted search = the budgeted path with no budget (one
+        fan-out/collect/cache implementation — the two were bit-identical
+        by test, so one delegates)."""
+        docs, scores, _ = self.search_budgeted(query, k)
+        return docs, scores
 
     def search_budgeted(self, query: str, k: int = 10,
                         timeout_ms: float | None = None,
@@ -210,8 +168,11 @@ class DistributedSearcher:
         collection (``Msg39.cpp:429-444``), while the per-term byte cap
         truncates each merged docId-ordered list
         (``PosdbTable.cpp:1975-1981``).  Terms whose fetches miss the
-        deadline evaluate as absent; any truncation or timeout sets
-        ``partial=True``.  Results are exact over the surviving lists."""
+        deadline evaluate as absent — but fetches that already COMPLETED
+        are always harvested (an expired deadline does a non-blocking
+        ``ray.get(timeout=0)``, so ready lists are never discarded); any
+        truncation or timeout sets ``partial=True``.  Results are exact
+        over the surviving lists."""
         import time
 
         import ray
@@ -250,10 +211,10 @@ class DistributedSearcher:
                     fut = [self._servers[s].get_parts.remote(tid, wp)
                            for s in self._servers_for_term(tid)]
                 try:
+                    # remaining == 0.0 → non-blocking harvest: ready
+                    # results are used, pending ones raise
                     remaining = (None if deadline is None else
                                  max(0.0, deadline - time.monotonic()))
-                    if remaining is not None and remaining == 0.0:
-                        raise ray.exceptions.GetTimeoutError("deadline")
                     chunks = ray.get(fut, timeout=remaining)
                 except ray.exceptions.GetTimeoutError:
                     lists[tid] = None
