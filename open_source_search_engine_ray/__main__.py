@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -48,6 +49,16 @@ def main(argv=None) -> int:
     q.add_argument("--q", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--snippets", action="store_true")
+    q.add_argument("--timeout-ms", type=float, default=None,
+                   help="query deadline; expired fetches -> partial")
+    q.add_argument("--max-list-bytes", type=int, default=None,
+                   help="per-term decoded-list cap (~30MB reference cap)")
+
+    sg = sub.add_parser("suggest",
+                        help="spell suggestions from the corpus vocab")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--q", required=True)
+    sg.add_argument("-k", type=int, default=5)
 
     a = sub.add_parser("add")
     a.add_argument("--index", required=True)
@@ -85,11 +96,28 @@ def main(argv=None) -> int:
         else:
             se = IndexSearcher(args.index)
             t0 = time.time()
-            docs, scores = se.search(args.q, args.k)
+            if args.timeout_ms is not None or args.max_list_bytes is not None:
+                docs, scores, partial = se.search_budgeted(
+                    args.q, args.k, timeout_ms=args.timeout_ms,
+                    max_list_bytes=args.max_list_bytes)
+            else:
+                docs, scores = se.search(args.q, args.k)
+                partial = False
             dt = time.time() - t0
             for r, (d, s) in enumerate(zip(docs, scores), 1):
                 print(f"{r:3d}  doc={int(d):20d}  score={float(s):.6f}")
-            print(f"({len(docs)} hits in {dt * 1000:.1f} ms)")
+            tag = " PARTIAL" if partial else ""
+            print(f"({len(docs)} hits in {dt * 1000:.1f} ms{tag})")
+    elif args.cmd == "suggest":
+        from .query.spell import SpellSuggester, _vocab_path, build_vocab
+
+        if not os.path.exists(_vocab_path(args.index)):
+            build_vocab(args.index)
+        sp = SpellSuggester(args.index)
+        for w in args.q.split():
+            for s, d, cf in sp.suggest(w, k=args.k):
+                print(f"{w} -> {s}  (distance {d}, cf {cf})")
+        print("corrected:", sp.correct_query(args.q))
     elif args.cmd == "add":
         from .index.merge import add_documents
 
