@@ -1,41 +1,40 @@
-"""CLI smoke: the ray-job driver surface (build → query → bench-queries)."""
+"""CLI surface: build → budgeted query → suggest, via subprocesses
+(each owns its own Ray session; the shared pytest session is untouched)."""
 
-import json
-import shutil
 import subprocess
 import sys
 
 import pytest
 
 
-@pytest.mark.parametrize("dummy", [0])
-def test_cli_build_and_query(tmp_path, dummy):
-    # materialize a tiny corpus parquet
-    corpus = tmp_path / "corpus.parquet"
-    idx = tmp_path / "idx"
-    code = (
-        "import ray; ray.init(address='local', num_cpus=4, "
-        "include_dashboard=False, logging_level='ERROR')\n"
-        "from open_source_search_engine_ray.sources.transcripts import "
-        "transcripts_table\n"
-        "import pyarrow.parquet as pq\n"
-        f"pq.write_table(transcripts_table(80), '{corpus}')\n"
-        "ray.shutdown()\n")
-    subprocess.run([sys.executable, "-c", code], check=True, cwd="/root/repo")
+@pytest.fixture(scope="module")
+def cli_corpus(ray_session, tmp_path_factory):
+    from open_source_search_engine_ray.sources.transcripts import (
+        transcripts_parquet)
 
-    r = subprocess.run(
-        [sys.executable, "-m", "open_source_search_engine_ray", "build",
-         "--input", str(corpus), "--out", str(idx), "--partitions", "8"],
-        capture_output=True, text=True, cwd="/root/repo")
+    factory = transcripts_parquet(200)
+    del factory
+    return "/tmp/osse_transcripts/n200"
+
+
+def _run(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "open_source_search_engine_ray", *args],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+
+
+def test_cli_build_query_suggest(cli_corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    r = _run("build", "--input", cli_corpus, "--out", idx)
     assert r.returncode == 0, r.stderr[-2000:]
-    meta = json.loads(r.stdout.strip().splitlines()[-1])
-    assert meta["n_docs"] == 80
+    assert '"n_docs": 200' in r.stdout
 
-    r = subprocess.run(
-        [sys.executable, "-m", "open_source_search_engine_ray", "query",
-         "--index", str(idx), "--q", "w0002", "-k", "3"],
-        capture_output=True, text=True, cwd="/root/repo")
+    r = _run("query", "--index", idx, "--q", "w0042",
+             "--max-list-bytes", "2048")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "hits in" in r.stdout
 
-    shutil.rmtree(idx, ignore_errors=True)
+    r = _run("suggest", "--index", idx, "--q", "w042 teh", "-k", "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "w042 -> w0042" in r.stdout
+    assert "corrected: w0042 the" in r.stdout
