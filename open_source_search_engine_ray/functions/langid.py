@@ -176,6 +176,12 @@ def classify(text: str) -> tuple[str, float]:
             if ch.isalpha():
                 n_alpha += 1
             continue
+        # only LETTERS count toward the script-share denominator —
+        # smart punctuation / symbols / emoji would otherwise dilute
+        # CJK or Cyrillic mass below the 0.3 threshold and misroute
+        # the text to the Latin TextCat path
+        if not ch.isalpha():
+            continue
         n_alpha += 1
         for lo, hi, lang in _SCRIPT_RANGES:
             if lo <= cp <= hi:

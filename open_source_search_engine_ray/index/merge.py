@@ -230,16 +230,28 @@ def live_docs_ds(out_dir: str, subdir: str = "docstore",
     gen_list = sorted(gens["generations"], key=lambda g: g["gen"])
     cdoc, cwin = _conflict_winners(out_dir, gen_list)
     tdoc, tdead = read_tombstones(out_dir)
+    need_filter = bool(len(cdoc) or len(tdoc))
+    # the live filter keys on doc_id — force-include it in the pruned
+    # read when the caller didn't ask for it, and drop it again after,
+    # so callers like the spell vocab (columns=["text"]) survive
+    # tombstoned / multi-generation indexes
+    read_cols = columns
+    prune_doc_id = False
+    if need_filter and columns is not None and "doc_id" not in columns:
+        read_cols = ["doc_id"] + list(columns)
+        prune_doc_id = True
     conflict_ref = ray.put((cdoc, cwin))
     tomb_ref = ray.put((tdoc, tdead))
     parts = []
     for g in gen_list:
         path = os.path.join(gen_dir(out_dir, g["gen"]), subdir)
-        ds = ray.data.read_parquet(path, columns=columns)
-        if len(cdoc) or len(tdoc):
+        ds = ray.data.read_parquet(path, columns=read_cols)
+        if need_filter:
             ds = ds.map_batches(
                 _make_live_filter(int(g["gen"]), conflict_ref, tomb_ref),
                 batch_format="pyarrow")
+            if prune_doc_id:
+                ds = ds.select_columns(list(columns))
         parts.append(ds)
     return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 

@@ -492,18 +492,21 @@ def pii_scan(sf_dir: str):
             "n_phone": pc.cast(np_.filter(hit), pa.int64()),
         })
 
-    # Hit rows stay a streaming Dataset at corpus scale (end it in
-    # write_parquet); only the declared-schema guard for a fully-clean
-    # corpus collects (Ray drops the schema of an all-empty Dataset).
-    import pandas as pd
-
+    # Hit rows stay a STREAMING Dataset — a dirty 100 TB corpus has
+    # billions of hits; consume with write_parquet / an aggregate.  Ray
+    # 2.49's to_pandas() on an ALL-empty Dataset drops the columns even
+    # when every block is typed, so probe emptiness with a pushed-down
+    # limit(1) (early-exits as soon as one dirty doc streams out — on a
+    # dirty corpus this touches one block) and return a typed empty
+    # frame only in the degenerate fully-clean case.
     ds = _read_docs(sf_dir).map_batches(scan, batch_format="pyarrow")
-    df = ds.to_pandas()
-    if df.shape[1] == 0:
-        df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                           "n_email": pd.Series([], dtype="int64"),
-                           "n_phone": pd.Series([], dtype="int64")})
-    return df
+    if ds.limit(1).count() == 0:
+        import pandas as pd
+
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_email": pd.Series([], dtype="int64"),
+                             "n_phone": pd.Series([], dtype="int64")})
+    return ds
 
 
 def pii_scan_sql() -> str:

@@ -42,9 +42,16 @@ def _truncate_postings(tp: TermPostings,
     reference (``PosdbTable.cpp:1975-1981``, ~30 MB key-ordered
     truncation).  Returns ``(list, truncated?)``; never mutates the
     cached object."""
-    per_row = (tp.doc_ids.itemsize + tp.dl.itemsize
-               + tp.tfs.itemsize * tp.tfs.shape[1])
-    n_keep = max(1, max_bytes // per_row)
+    per_row = float(tp.doc_ids.itemsize + tp.dl.itemsize
+                    + tp.tfs.itemsize * tp.tfs.shape[1])
+    if tp.positions is not None:
+        # the reference's ~30 MB cap bounds the WHOLE termlist read —
+        # positions payloads (phrase/proximity terms) must count too,
+        # at their average per-posting share
+        flat, offs = tp.positions
+        n = max(1, len(tp.doc_ids))
+        per_row += offs.itemsize + (flat.size * flat.itemsize) / n
+    n_keep = max(1, int(max_bytes / per_row))
     if n_keep >= len(tp.doc_ids):
         return tp, False
     positions = None

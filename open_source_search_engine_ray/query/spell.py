@@ -69,7 +69,7 @@ def build_vocab(out_dir: str, max_terms: int = VOCAB_MAX_TERMS) -> str:
     vocab = (live_docs_ds(out_dir, "docstore", columns=["text"])
              .map_batches(partial, batch_format="pyarrow")
              .groupby("term").aggregate(Sum("cf", alias_name="cf"))
-             .sort("cf", descending=True)
+             .sort(["cf", "term"], descending=[True, False])
              .limit(max_terms))
     df = vocab.to_pandas()
     if "term" not in df.columns:           # empty corpus: typed empty
