@@ -38,6 +38,11 @@ from .build import build_index, load_meta
 GENERATIONS_FILE = "generations.json"
 TOMBSTONES_FILE = "tombstones.parquet"
 
+# at or below this many total docstats+docstore bytes, compact_merge
+# carries the live tables in-process (same masks as the streaming path);
+# above it the carry stays fully distributed
+LIVE_CARRY_DRIVER_MAX_BYTES = 256 << 20
+
 
 def _gens_path(out_dir: str) -> str:
     return os.path.join(out_dir, GENERATIONS_FILE)
@@ -218,18 +223,25 @@ def _make_live_filter(gen: int, conflict_ref, tomb_ref):
 
 
 def live_docs_ds(out_dir: str, subdir: str = "docstore",
-                 columns: list[str] | None = None):
+                 columns: list[str] | None = None,
+                 _precomputed: tuple | None = None):
     """STREAMING live view of a per-generation table family (``docstats``
     or ``docstore``): newest-generation-wins + tombstones applied map-side
     via broadcast filter arrays — no shuffle join, no driver
-    materialization; consume with ``write_parquet`` / an aggregate."""
+    materialization; consume with ``write_parquet`` / an aggregate.
+    ``_precomputed=(cdoc, cwin, tdoc, tdead)`` skips the conflict-winner
+    job when the caller already holds the arrays (compact_merge carries
+    two table families and should pay that shuffle once, not twice)."""
     import ray
     import ray.data
 
     gens = read_generations(out_dir)
     gen_list = sorted(gens["generations"], key=lambda g: g["gen"])
-    cdoc, cwin = _conflict_winners(out_dir, gen_list)
-    tdoc, tdead = read_tombstones(out_dir)
+    if _precomputed is not None:
+        cdoc, cwin, tdoc, tdead = _precomputed
+    else:
+        cdoc, cwin = _conflict_winners(out_dir, gen_list)
+        tdoc, tdead = read_tombstones(out_dir)
     need_filter = bool(len(cdoc) or len(tdoc))
     # the live filter keys on doc_id — force-include it in the pruned
     # read when the caller didn't ask for it, and drop it again after,
@@ -263,14 +275,69 @@ def live_docs_ds(out_dir: str, subdir: str = "docstore",
 REFRESH_DRIVER_MAX_BYTES = 64 << 20
 
 
-def _docstats_bytes(out_dir: str, gen_list: list[dict]) -> int:
+def _table_bytes(out_dir: str, gen_list: list[dict], subdir: str) -> int:
     total = 0
     for g in gen_list:
-        d = os.path.join(gen_dir(out_dir, g["gen"]), "docstats")
+        d = os.path.join(gen_dir(out_dir, g["gen"]), subdir)
         if os.path.isdir(d):
             for name in os.listdir(d):
                 total += os.path.getsize(os.path.join(d, name))
     return total
+
+
+def _docstats_bytes(out_dir: str, gen_list: list[dict]) -> int:
+    return _table_bytes(out_dir, gen_list, "docstats")
+
+
+def _conflict_winners_driver(out_dir: str, gen_list: list[dict]):
+    """In-process :func:`_conflict_winners` (same result, no Ray job) for
+    maintenance working sets small enough to hold two numpy columns."""
+    import pyarrow.dataset as pads
+
+    if len(gen_list) <= 1:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int32)
+    docs_per_gen, gen_ids = [], []
+    for g in gen_list:
+        d = os.path.join(gen_dir(out_dir, g["gen"]), "docstats")
+        t = pads.dataset(d, format="parquet").to_table(columns=["doc_id"])
+        docs_per_gen.append(t["doc_id"].to_numpy().astype(np.uint64))
+        gen_ids.append(int(g["gen"]))
+    all_docs = np.concatenate(docs_per_gen)
+    all_gens = np.concatenate([np.full(len(d), gid, np.int32)
+                               for d, gid in zip(docs_per_gen, gen_ids)])
+    uniq, inv, cnt = np.unique(all_docs, return_inverse=True,
+                               return_counts=True)
+    win = np.full(len(uniq), -1, np.int32)
+    np.maximum.at(win, inv, all_gens)
+    dup = cnt > 1
+    return uniq[dup], win[dup]
+
+
+def _live_table_driver(out_dir: str, gen_list: list[dict], subdir: str,
+                       cdoc, cwin, tdoc, tdead) -> pa.Table:
+    """In-process live view of a generation table family — identical
+    masks to :func:`_make_live_filter`, returned as one Arrow table."""
+    import pyarrow.dataset as pads
+
+    tables = []
+    for g in gen_list:
+        d = os.path.join(gen_dir(out_dir, g["gen"]), subdir)
+        t = pads.dataset(d, format="parquet").to_table()
+        if len(cdoc) or len(tdoc):
+            gid = int(g["gen"])
+            doc = t["doc_id"].to_numpy().astype(np.uint64)
+            keep = np.ones(len(doc), dtype=bool)
+            if len(cdoc):
+                idx = np.clip(np.searchsorted(cdoc, doc), 0, len(cdoc) - 1)
+                keep &= ~((cdoc[idx] == doc) & (cwin[idx] > gid))
+            if len(tdoc):
+                idx = np.clip(np.searchsorted(tdoc, doc), 0,
+                              len(tdoc) - 1)
+                keep &= ~((tdoc[idx] == doc) & (tdead[idx] >= gid))
+            if not keep.all():
+                t = t.filter(pa.array(keep))
+        tables.append(t)
+    return pa.concat_tables(tables)
 
 
 def _live_totals_driver(out_dir: str, gen_list: list[dict],
@@ -590,28 +657,53 @@ def compact_merge(out_dir: str) -> dict:
     os.makedirs(new_dir, exist_ok=True)
     fingerprint = f"compact-merge:{base_meta['fingerprint']}"
 
-    # live doc stats + doc store carried over as STREAMING Ray pipelines
-    # (newest-gen-wins + tombstones applied map-side, partitioned
-    # write_parquet) — no whole-corpus driver pandas, no single-file write
-    from ray.data.aggregate import Count, Sum
-
+    # live doc stats + doc store carry.  Small maintenance working sets
+    # (total table bytes ≤ LIVE_CARRY_DRIVER_MAX_BYTES) run in-process —
+    # the five Ray jobs (2× conflict-winners, 2× filtered write, 1×
+    # aggregate) are pure fixed cost at that size and were the dominant
+    # term of the compaction wall time.  Above the threshold the carry
+    # is the original STREAMING pipeline (newest-gen-wins + tombstones
+    # applied map-side, partitioned write_parquet), with the
+    # conflict-winner shuffle paid ONCE and shared by both writes.
     stats_dir = os.path.join(new_dir, "docstats")
-    os.makedirs(stats_dir, exist_ok=True)
-    live_docs_ds(out_dir, "docstats").write_parquet(stats_dir)
-    stats_files = [f for f in os.listdir(stats_dir)
-                   if f.endswith(".parquet")]
-    if stats_files:
-        agg = (ray.data.read_parquet(stats_dir, columns=["dl_q"])
-               .aggregate(Sum("dl_q", alias_name="t"),
-                          Count(alias_name="n")))
-    else:
-        agg = None     # all docs tombstoned: write_parquet left no files
-    n_docs = int(agg["n"] or 0) if agg else 0
-    total_dlq = int(agg["t"] or 0) if agg else 0
-    avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(max(1, n_docs)))
     store_dir = os.path.join(new_dir, "docstore")
+    os.makedirs(stats_dir, exist_ok=True)
     os.makedirs(store_dir, exist_ok=True)
-    live_docs_ds(out_dir, "docstore").write_parquet(store_dir)
+    carry_bytes = (_table_bytes(out_dir, gen_list, "docstats")
+                   + _table_bytes(out_dir, gen_list, "docstore"))
+    if carry_bytes <= LIVE_CARRY_DRIVER_MAX_BYTES:
+        cdoc, cwin = _conflict_winners_driver(out_dir, gen_list)
+        tdoc, tdead = tomb
+        stats_tbl = _live_table_driver(out_dir, gen_list, "docstats",
+                                       cdoc, cwin, tdoc, tdead)
+        pq.write_table(stats_tbl,
+                       os.path.join(stats_dir, "part-00000.parquet"))
+        n_docs = stats_tbl.num_rows
+        total_dlq = int(stats_tbl["dl_q"].to_numpy().sum()) if n_docs else 0
+        store_tbl = _live_table_driver(out_dir, gen_list, "docstore",
+                                       cdoc, cwin, tdoc, tdead)
+        pq.write_table(store_tbl,
+                       os.path.join(store_dir, "part-00000.parquet"))
+    else:
+        from ray.data.aggregate import Count, Sum
+
+        cdoc, cwin = _conflict_winners(out_dir, gen_list)
+        pre = (cdoc, cwin, tomb[0], tomb[1])
+        live_docs_ds(out_dir, "docstats",
+                     _precomputed=pre).write_parquet(stats_dir)
+        stats_files = [f for f in os.listdir(stats_dir)
+                       if f.endswith(".parquet")]
+        if stats_files:
+            agg = (ray.data.read_parquet(stats_dir, columns=["dl_q"])
+                   .aggregate(Sum("dl_q", alias_name="t"),
+                              Count(alias_name="n")))
+        else:
+            agg = None   # all docs tombstoned: write_parquet left no files
+        n_docs = int(agg["n"] or 0) if agg else 0
+        total_dlq = int(agg["t"] or 0) if agg else 0
+        live_docs_ds(out_dir, "docstore",
+                     _precomputed=pre).write_parquet(store_dir)
+    avgdl = float(np.float64(total_dlq) / 4.0 / np.float64(max(1, n_docs)))
 
     p, s = cfg.num_partitions, cfg.num_salts
     n_normal = p * s if cfg.salt_all_terms else p
