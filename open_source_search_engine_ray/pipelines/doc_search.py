@@ -48,9 +48,12 @@ def _read_docs(sf_dir: str):
 
 
 def _term_tf_batch(batch: pa.Table, terms: set[str]) -> pa.Table:
-    """Per-doc tf for the query terms + per-doc token count (dl)."""
+    """Per-doc tf for the query terms, each row carrying the doc's token
+    count (dl) — dl rides the tf rows from the SAME tokenize pass, so
+    scoring needs no per-doc side table (the corpus-sized dl broadcast
+    this pipeline used to build on the driver)."""
     doc_ids = batch["doc_id"].to_numpy()
-    out_doc, out_term, out_tf = [], [], []
+    out_doc, out_term, out_tf, out_dl = [], [], [], []
     for d, text in zip(doc_ids, batch["text"].to_pylist()):
         toks = tokenize_simple(text or "")
         counts: dict[str, int] = {}
@@ -61,10 +64,12 @@ def _term_tf_batch(batch: pa.Table, terms: set[str]) -> pa.Table:
             out_doc.append(int(d))
             out_term.append(t)
             out_tf.append(c)
+            out_dl.append(len(toks))
     return pa.table({
         "doc_id": pa.array(out_doc, pa.int64()),
         "term": pa.array(out_term, pa.string()),
         "tf": pa.array(out_tf, pa.int64()),
+        "dl": pa.array(out_dl, pa.int64()),
     })
 
 
@@ -79,24 +84,21 @@ def _doc_len_batch(batch: pa.Table) -> pa.Table:
 
 def bm25_topk_docs(sf_dir: str):
     """→ (query_id, rank, doc_id, score) — disjunctive (OR) BM25 top-10."""
-    import ray
     import ray.data
     from ray.data.aggregate import Count, Sum
 
     terms = {t for _, q in DOC_QUERIES for t in tokenize_simple(q)}
 
-    # pass 1: doc lengths (+ N, avgdl as exact int sums)
-    dls = _read_docs(sf_dir).map_batches(_doc_len_batch,
-                                         batch_format="pyarrow")
-    dl_tbl = dls.to_pandas()
-    n_docs = len(dl_tbl)
-    avgdl = float(np.float64(int(dl_tbl["dl"].sum())) / np.float64(n_docs))
-    dl_sorted = dl_tbl.sort_values("doc_id")
-    dl_ids = dl_sorted["doc_id"].to_numpy()
-    dl_vals = dl_sorted["dl"].to_numpy()
-    dl_ref = ray.put((dl_ids, dl_vals))
+    # pass 1: N + avgdl as SCALAR exact-int aggregates — nothing
+    # per-doc ever reaches the driver or is broadcast
+    stats = (_read_docs(sf_dir)
+             .map_batches(_doc_len_batch, batch_format="pyarrow")
+             .aggregate(Sum("dl", alias_name="t"), Count(alias_name="n")))
+    n_docs = int(stats["n"])
+    avgdl = float(np.float64(int(stats["t"])) / np.float64(n_docs))
 
-    # pass 2: per-(doc, term) tf for query terms only (map-side pruning)
+    # pass 2: per-(doc, term) tf for query terms only (map-side pruning),
+    # each row carrying its doc's dl from the same tokenize pass
     tfs = _read_docs(sf_dir).map_batches(
         lambda b: _term_tf_batch(b, terms), batch_format="pyarrow")
     # df per term (tiny aggregate)
@@ -107,12 +109,10 @@ def bm25_topk_docs(sf_dir: str):
                              (df_map.get(t, 0) + 0.5))) for t in terms}
 
     def score_batch(batch: pa.Table) -> pa.Table:
-        ids, vals = ray.get(dl_ref)
         doc = batch["doc_id"].to_numpy()
         tf = batch["tf"].to_numpy().astype(np.float64)
         term = batch["term"].to_pylist()
-        pos = np.searchsorted(ids, doc)
-        dl = vals[pos].astype(np.float64)
+        dl = batch["dl"].to_numpy().astype(np.float64)
         denom = tf + K1 * (1.0 - B + B * dl / avgdl)
         base = tf * (K1 + 1.0) / denom
         out = {"query_id": [], "doc_id": [], "contrib": []}

@@ -81,29 +81,57 @@ def _ensure_docs_index(sf_dir: str) -> str:
     return idx_dir
 
 
+def _topk_with_ties(se, q: str):
+    """Top-``TOP_K``-with-ties on the rounded score via a geometric-k
+    deepening search: fetch 4×TOP_K, and only when the LAST fetched
+    rounded score still equals the k-th (ties may extend past the fetch)
+    deepen 4× — never k = corpus size, so driver memory is O(ties), not
+    O(N).  Rounding is monotone on the descending scores, so once the
+    tail drops below the threshold no unfetched doc can tie."""
+    k = 4 * TOP_K
+    while True:
+        docs, scores = se.search(q, k)
+        rounded = np.round(scores, 6)
+        if len(docs) < k or len(rounded) < TOP_K:
+            break                       # exhausted every match
+        if rounded[-1] < rounded[TOP_K - 1]:
+            break                       # tie group fully fetched
+        k *= 4
+    if len(docs) > TOP_K:
+        keep = rounded >= rounded[TOP_K - 1]
+        docs, rounded = docs[keep], rounded[keep]
+    return docs, rounded
+
+
+def _conv_lookup(idx_dir: str, doc_ids: list[int]) -> dict:
+    """docId → conv_id for a bounded hit set: predicate-pushdown ``isin``
+    scan of the docstats family (the ``Msg22`` docid→titlerec point
+    lookup shape — only matching row groups decode)."""
+    import pyarrow.dataset as pads
+
+    want = pa.array(np.asarray(doc_ids, dtype=np.uint64))
+    t = pads.dataset(os.path.join(idx_dir, "docstats"),
+                     format="parquet").to_table(
+        columns=["doc_id", "conv_id"],
+        filter=pads.field("doc_id").isin(want))
+    return dict(zip(t["doc_id"].to_numpy().astype(np.uint64),
+                    t["conv_id"].to_pylist()))
+
+
 def engine_bm25_docs(sf_dir: str):
     """→ (query_id, doc_id, score): top-10-with-ties answered by the REAL
     engine (segments + block-max kernel) over the documents corpus."""
-    import pyarrow.dataset as pads
-
     from ..query.engine import IndexSearcher
 
     idx_dir = _ensure_docs_index(sf_dir)
     se = IndexSearcher(idx_dir)
-    stats = pads.dataset(os.path.join(idx_dir, "docstats"),
-                         format="parquet").to_table().to_pandas()
-    conv_of = dict(zip(stats["doc_id"].astype(np.uint64), stats["conv_id"]))
+    hits = {qid: _topk_with_ties(se, q) for qid, q in ENGINE_DOC_QUERIES}
+    winners = sorted({int(d) for docs, _ in hits.values() for d in docs})
+    conv_of = _conv_lookup(idx_dir, winners)
 
     out = {"query_id": [], "doc_id": [], "score": []}
-    for qid, q in ENGINE_DOC_QUERIES:
-        # all matches (k = corpus size), then top-k with ties on the
-        # rounded score
-        docs, scores = se.search(q, se.n_docs)
-        rounded = np.round(scores, 6)
-        if len(docs) > TOP_K:
-            thresh = rounded[TOP_K - 1]
-            keep = rounded >= thresh
-            docs, rounded = docs[keep], rounded[keep]
+    for qid, _ in ENGINE_DOC_QUERIES:
+        docs, rounded = hits[qid]
         for d, s in zip(docs, rounded):
             out["query_id"].append(qid)
             out["doc_id"].append(int(conv_of[np.uint64(d)].split("-")[1]))

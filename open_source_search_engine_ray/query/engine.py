@@ -71,6 +71,68 @@ def _truncate_postings(tp: TermPostings,
         block_max=None), True
 
 
+# target postings per docId range of the parallel exact path — below
+# this per-range size, task fixed costs beat the kernel time saved
+PARALLEL_MIN_POSTINGS = 150_000
+
+
+def _slice_postings(tp: TermPostings, lo: int, hi: int
+                    ) -> TermPostings | None:
+    """Postings restricted to docIds in ``[lo, hi)`` — zero-copy views of
+    the docId-sorted arrays (the ragged positions slice is the one copy);
+    ``df`` stays the GLOBAL term frequency, so per-doc idf — and thus the
+    per-doc score — is identical to a whole-corpus evaluation."""
+    i0 = int(np.searchsorted(tp.doc_ids, lo, side="left"))
+    i1 = int(np.searchsorted(tp.doc_ids, hi, side="left"))
+    if i0 == i1:
+        # no postings in this range — identical semantics to a term
+        # absent from the index (required → no candidates, negative →
+        # nothing to exclude), and the kernel's None handling is the
+        # tested path for that
+        return None
+    positions = None
+    if tp.positions is not None:
+        flat, offs = tp.positions
+        o0, o1 = int(offs[i0]), int(offs[i1])
+        positions = (flat[o0:o1], offs[i0:i1 + 1] - o0)
+    return TermPostings(doc_ids=tp.doc_ids[i0:i1], tfs=tp.tfs[i0:i1],
+                        dl=tp.dl[i0:i1], df=int(tp.df),
+                        positions=positions, block_max=None)
+
+
+def _eval_docid_range(refs: dict, pq_: ParsedQuery, lo: int, hi: int,
+                      n_docs: int, avgdl: float, config: IndexConfig,
+                      k: int):
+    """One docId range of a range-split query: slice every term's list to
+    [lo, hi), run the exact kernel, return the range-local top-k.  Term
+    payloads arrive as object refs inside ``refs`` (NOT auto-resolved —
+    ``ray.get`` here is a zero-copy read of the shared numpy arrays)."""
+    import ray
+
+    lists: dict[int, TermPostings | None] = {}
+    for tid, ref in refs.items():
+        if ref is None:
+            lists[tid] = None
+            continue
+        d = ray.get(ref)
+        tp = TermPostings(doc_ids=d["doc_ids"], tfs=d["tfs"], dl=d["dl"],
+                          df=int(d["df"]), positions=d.get("positions"))
+        lists[tid] = _slice_postings(tp, lo, hi)
+    return evaluate(pq_, lists, n_docs, avgdl, config, k, prune=False)
+
+
+_RANGE_TASK = None
+
+
+def _get_range_task():
+    global _RANGE_TASK
+    if _RANGE_TASK is None:
+        import ray
+
+        _RANGE_TASK = ray.remote(num_cpus=1)(_eval_docid_range)
+    return _RANGE_TASK
+
+
 class _GenIndex:
     """Readers + hot map for one generation directory."""
 
@@ -142,6 +204,9 @@ class IndexSearcher:
         # serving actor can't grow without limit under a distinct-term
         # query stream; hot stopword lists stay resident via recency
         self._cache = LruBytesCache(cache_bytes)
+        # object-store refs of broadcast term payloads for the parallel
+        # exact path (ray.put once, zero-copy read per range task)
+        self._part_refs: dict = {}
 
     def _dead_mask(self, doc_ids: np.ndarray, gen: int) -> np.ndarray:
         """True where the doc is tombstoned for this generation."""
@@ -355,6 +420,74 @@ class IndexSearcher:
         docs, scores = evaluate(pq_, lists, self.n_docs, self.avgdl,
                                 self.config, k, prune=not partial)
         return docs, scores, partial
+
+    def search_parallel(self, query: str, k: int = 10,
+                        n_ranges: int | None = None, lang: str = "en"):
+        """EXACT intra-query parallelism: split the docId space into
+        ranges, evaluate each range in a Ray task over zero-copy slices
+        of the broadcast posting arrays, merge the range top-ks — the
+        reference's per-query docid-range split (``Msg39.cpp:411-466``
+        splits each query across hosts by docid range;
+        ``JobScheduler.h:26-31`` runs the intersect threads).
+
+        BM25F is doc-local (df / N / avgdl stay global, every other input
+        is the doc's own row), so per-doc scores are bit-identical to
+        :meth:`search` and the (score desc, docId asc) merge reproduces
+        its ranking exactly (tests/test_distributed.py).  Unlike
+        :meth:`search_budgeted` this is the exact path for pathological
+        conjunctions — no flagged partial results.
+
+        ``n_ranges=None`` sizes ranges to ~PARALLEL_MIN_POSTINGS postings
+        and falls back to the single-process kernel for small queries."""
+        import ray
+
+        from ..functions.bm25 import topk_merge
+
+        pq_ = parse_query(query, self.config.bigram_weight, lang=lang,
+                          position_mode=self.config.position_mode)
+        lists = self._lists_for(pq_)
+        sizes = [len(tp.doc_ids) for tp in lists.values()
+                 if tp is not None]
+        total = int(np.sum(sizes)) if sizes else 0
+        if n_ranges is None:
+            n_ranges = min(16, total // PARALLEL_MIN_POSTINGS)
+        if n_ranges <= 1 or not sizes or not ray.is_initialized():
+            return evaluate(pq_, lists, self.n_docs, self.avgdl,
+                            self.config, k)
+        # boundaries: quantile docIds of the LARGEST list (the dominant
+        # scan), so ranges carry near-equal work even under docId skew
+        big = max((tp.doc_ids for tp in lists.values()
+                   if tp is not None), key=len)
+        cut_idx = np.linspace(0, len(big) - 1,
+                              n_ranges + 1).astype(np.int64)[1:-1]
+        cuts = np.unique(big[cut_idx]).astype(np.uint64)
+        bounds = np.concatenate([[np.uint64(0)], cuts,
+                                 [np.uint64(1) << np.uint64(63)]])
+        refs: dict[int, object] = {}
+        for tid, tp in lists.items():
+            if tp is None:
+                refs[tid] = None
+                continue
+            key = (tid, tp.positions is not None)
+            ref = self._part_refs.get(key)
+            if ref is None:
+                d = {"doc_ids": tp.doc_ids, "tfs": tp.tfs, "dl": tp.dl,
+                     "df": int(tp.df)}
+                if tp.positions is not None:
+                    d["positions"] = tp.positions
+                if len(self._part_refs) > 256:   # bounded ref table
+                    self._part_refs.clear()
+                ref = ray.put(d)
+                self._part_refs[key] = ref
+            refs[tid] = ref
+        task = _get_range_task()
+        futs = [task.remote(refs, pq_, int(lo), int(hi), self.n_docs,
+                            self.avgdl, self.config, k)
+                for lo, hi in zip(bounds[:-1], bounds[1:])]
+        parts = ray.get(futs)
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_merge(docs, scores, k)
 
     def search_page(self, query: str, k: int = 10, offset: int = 0,
                     with_total: bool = False,
