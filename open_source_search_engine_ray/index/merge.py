@@ -144,6 +144,26 @@ def delete_convs(out_dir: str, conv_ids: list[str]) -> int:
     return delete_docs(out_dir, doc_ids_for_convs(conv_ids).tolist())
 
 
+def delete_by_query(out_dir: str, query: str, lang: str = "en") -> int:
+    """Delete every live document matching ``query`` — the query-driven
+    reindex/delete of the reference (``PageReindex.cpp``: run the query,
+    feed the result docIds into the delete/reindex spider queue).  The
+    EXACT candidate set (required-term intersection, negatives, phrase
+    filters — no scoring pass) is tombstoned; a later re-add revives a
+    doc as usual.  Returns the number of docs deleted."""
+    from ..query.engine import IndexSearcher
+    from ..query.kernel import candidate_docs
+    from ..query.parse import parse_query
+
+    se = IndexSearcher(out_dir)
+    pq_ = parse_query(query, se.config.bigram_weight, lang=lang,
+                      position_mode=se.config.position_mode)
+    cand = candidate_docs(pq_, se._lists_for(pq_))
+    if len(cand) == 0:
+        return 0
+    return delete_docs(out_dir, [int(d) for d in cand])
+
+
 def update_documents(out_dir: str, transcripts_ds_factory, *,
                      input_token: str,
                      config: IndexConfig | None = None) -> dict:

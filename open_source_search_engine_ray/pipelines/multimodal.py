@@ -10,19 +10,26 @@ environment can handle without codec libraries:
   thumbnail — actual pixel math, no fakes;
 - ``audio/wav`` (PCM16): stdlib ``wave`` + numpy — RMS, zero-crossing
   rate, spectral centroid via FFT, duration; FRAME-SAMPLE takes every
-  k-th frame.
+  k-th frame;
+- ``image/png`` (8-bit gray/RGB/RGBA, non-interlaced): REAL compressed
+  decode — chunk walk + stdlib ``zlib`` inflate + the full scanline
+  unfilter set (None/Sub/Up/Average/Paeth) in numpy (vectorized rows;
+  Sub via wrapping uint8 cumsum), byte-exact against the encoder
+  (tests/test_pipelines.py golden).
 
-Compressed codecs (JPEG/PNG/MP3/H.264) still raise ``NotImplementedError``
-behind a clearly-marked gate — those genuinely need external libraries.
-The Ray plumbing — binary schema, payload-sized batches, per-actor state —
-is identical for both classes, so swapping a real JPEG decoder in is a
+Codecs that genuinely need external libraries (JPEG/MP3/H.264) still
+raise ``NotImplementedError`` behind a clearly-marked gate.  The Ray
+plumbing — binary schema, payload-sized batches, per-actor state — is
+identical for both classes, so swapping a real JPEG decoder in is a
 one-method change.
 """
 
 from __future__ import annotations
 
 import io
+import struct
 import wave
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -30,7 +37,10 @@ import pyarrow as pa
 FEAT_DIM = 8
 SAMPLE_RATE = 8000
 
-_COMPRESSED = {"image/jpeg", "image/png", "audio/mpeg", "video/mp4"}
+_COMPRESSED = {"image/jpeg", "audio/mpeg", "video/mp4"}
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}   # gray, rgb, gray+a, rgba
 
 
 # --- deterministic payload synthesis (the corpus has no binary columns;
@@ -41,6 +51,13 @@ def _make_ppm(doc_id: int) -> bytes:
     h, w = 16 + int(doc_id) % 17, 16 + (int(doc_id) // 3) % 13
     pixels = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def _make_png(doc_id: int) -> bytes:
+    rng = np.random.default_rng([97, doc_id])
+    h, w = 12 + int(doc_id) % 21, 12 + (int(doc_id) // 5) % 19
+    pixels = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    return encode_png(pixels)
 
 
 def _make_wav(doc_id: int) -> bytes:
@@ -75,6 +92,9 @@ def payloads_dataset(sf_dir: str):
             if int(d) % 3 == 0:
                 payloads.append(_make_ppm(int(d)))
                 media.append("image/x-portable-pixmap")
+            elif int(d) % 3 == 1:
+                payloads.append(_make_png(int(d)))
+                media.append("image/png")
             else:
                 payloads.append(_make_wav(int(d)))
                 media.append("audio/wav")
@@ -118,6 +138,96 @@ def decode_ppm(payload: bytes) -> np.ndarray:
                          offset=pos).reshape(h, w, 3)
 
 
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w) uint8 gray or (h, w, ch) uint8 (ch∈{1,2,3,4}) → PNG bytes
+    (filter 0 scanlines, one zlib IDAT) — the test-golden counterpart of
+    :func:`decode_png`."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    rows = img.reshape(h, w * ch)
+    raw = b"".join(b"\x00" + rows[i].tobytes() for i in range(h))
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG (8-bit depth, non-interlaced) → (h, w, ch) uint8 — chunk walk
+    + stdlib zlib inflate + scanline unfilter, no codec library.
+
+    Unfilter (PNG spec §6): Up is one vectorized add per row; Sub is a
+    wrapping-uint8 cumsum over the pixel axis (the additive chain mod 256
+    IS a cumulative sum); Average/Paeth carry a genuine left+up
+    dependency, walked per pixel column with the rows vectorized."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} colortype={ctype} interlace={interlace}: "
+            "only 8-bit non-interlaced gray/RGB/RGBA is implemented")
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    lines = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftype = lines[:, 0]
+    data = lines[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    for i in range(h):
+        f, row = int(ftype[i]), data[i]
+        prev = out[i - 1] if i else np.zeros(stride, np.uint8)
+        if f == 0:                                   # None
+            out[i] = row
+        elif f == 1:                                 # Sub
+            out[i] = np.cumsum(row.reshape(w, ch), axis=0,
+                               dtype=np.uint8).reshape(stride)
+        elif f == 2:                                 # Up
+            out[i] = row + prev
+        elif f == 3:                                 # Average
+            cur = out[i]
+            cur[:ch] = row[:ch] + (prev[:ch].astype(np.uint16) >> 1)
+            for x in range(ch, stride):
+                cur[x] = row[x] + (
+                    (int(cur[x - ch]) + int(prev[x])) >> 1)
+        elif f == 4:                                 # Paeth
+            cur = out[i]
+            cur[:ch] = row[:ch] + prev[:ch]          # left/ul are 0
+            for x in range(ch, stride):
+                a, b_, c = int(cur[x - ch]), int(prev[x]), int(prev[x - ch])
+                p = a + b_ - c
+                pa_, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else \
+                    (b_ if pb <= pc else c)
+                cur[x] = row[x] + pred
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    return out.reshape(h, w, ch)
+
+
 def resize_gray(img: np.ndarray, out_h: int = 2, out_w: int = 2) -> np.ndarray:
     """Strided-mean downsample of the luminance plane (real resize op)."""
     gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
@@ -157,9 +267,18 @@ class DecodeStage:
         if media_type in _COMPRESSED:
             raise NotImplementedError(
                 f"{media_type} needs a codec library not present in this "
-                "environment; supported here: PPM images, PCM16 WAV audio")
-        if media_type == "image/x-portable-pixmap":
-            img = decode_ppm(payload)
+                "environment; supported here: PPM + PNG images, PCM16 "
+                "WAV audio")
+        if media_type in ("image/x-portable-pixmap", "image/png"):
+            img = (decode_ppm(payload)
+                   if media_type == "image/x-portable-pixmap"
+                   else decode_png(payload))
+            if img.shape[2] == 1:          # gray → stack to 3 channels
+                img = np.repeat(img, 3, axis=2)
+            elif img.shape[2] == 2:        # gray+alpha → drop alpha
+                img = np.repeat(img[:, :, :1], 3, axis=2)
+            elif img.shape[2] == 4:        # RGBA → drop alpha
+                img = img[:, :, :3]
             thumb = resize_gray(img).reshape(-1) / 255.0
             return np.concatenate([
                 img.reshape(-1, 3).mean(axis=0) / 255.0,

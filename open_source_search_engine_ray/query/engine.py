@@ -489,6 +489,20 @@ class IndexSearcher:
         scores = np.concatenate([p[1] for p in parts])
         return topk_merge(docs, scores, k)
 
+    def search_lang(self, query: str, k: int = 10, qlang: str = "en",
+                    lang_weight: float | None = None):
+        """Query-language-weighted search (``PosdbTable.cpp:3918``
+        ``langWeight`` under the ``qlang`` parm, ``SearchInput.cpp``):
+        documents whose classified language (query/langprior.py — built
+        from the live docstore on first use) differs from ``qlang``
+        score ×``lang_weight``.  Rides the doc_prior hook, so engine and
+        oracle share the kernel."""
+        from .langprior import DEFAULT_LANG_WEIGHT, language_prior
+
+        w = DEFAULT_LANG_WEIGHT if lang_weight is None else lang_weight
+        prior = language_prior(self.index_dir, qlang, w)
+        return self.search(query, k, lang=qlang, doc_prior=prior)
+
     def search_page(self, query: str, k: int = 10, offset: int = 0,
                     with_total: bool = False,
                     synonyms: dict[str, list[str]] | None = None,

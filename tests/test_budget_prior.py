@@ -129,3 +129,61 @@ def test_distributed_budgeted_matches_driver(bp_index):
     db, sb, pb = ds.search_budgeted("the", 10, max_list_bytes=cap)
     assert pa_ and pb
     assert list(da) == list(db) and list(sa) == list(sb)
+
+
+def test_language_prior_build_and_rank_flip(ray_session, tmp_path):
+    """Per-doc language prior (PosdbTable.cpp:3918 langWeight / qlang):
+    build_doclang classifies every live doc, language_prior feeds the
+    doc_prior hook, and qlang='de' lifts a planted German doc over the
+    synthetic-English docs on a shared term — engine == oracle."""
+    import pyarrow as pa
+    import ray.data
+
+    from open_source_search_engine_ray.functions.ghash import (
+        doc_ids_for_convs)
+    from open_source_search_engine_ray.index.build import build_index
+    from open_source_search_engine_ray.index.merge import add_documents
+    from open_source_search_engine_ray.query.langprior import (
+        build_doclang, language_prior, load_doclang)
+    from open_source_search_engine_ray.query.oracle import OracleIndex
+    from open_source_search_engine_ray.sources.transcripts import (
+        TRANSCRIPTS_SCHEMA, generate_conv_rows, transcripts_dataset)
+
+    idx = str(tmp_path / "lp_idx")
+    build_index(lambda: transcripts_dataset(40), idx,
+                input_token="lp:base")
+    de_text = ("der hund und die katze sind nicht im haus aber der "
+               "w0042 ist hier und das ist gut so oder nicht")
+    de_tbl = pa.table({
+        "conv_id": ["conv-de"], "turn_idx": pa.array([0], pa.int32()),
+        "role": ["user"], "text": [de_text],
+        "tool": pa.array([None], pa.string()),
+        "ts": pa.array([0], pa.timestamp("us")),
+    }).cast(TRANSCRIPTS_SCHEMA)
+    add_documents(idx, lambda: ray.data.from_arrow(de_tbl),
+                  input_token="lp:de")
+
+    build_doclang(idx)
+    ids, langs = load_doclang(idx)
+    se = _searcher(idx)
+    assert len(ids) == se.n_docs               # one row per live doc
+    de_doc = int(doc_ids_for_convs(["conv-de"])[0])
+    assert langs[np.searchsorted(ids, np.uint64(de_doc))] == "de"
+
+    base_docs, _ = se.search("w0042", se.n_docs)
+    base_rank = list(base_docs).index(de_doc)
+    assert base_rank == 0       # short dl → the German doc tops unweighted
+    den, _ = se.search_lang("w0042", se.n_docs, qlang="en",
+                            lang_weight=0.05)
+    assert list(den).index(de_doc) > base_rank    # qlang=en demotes it
+    d1, s1 = se.search_lang("w0042", se.n_docs, qlang="de",
+                            lang_weight=0.05)
+    assert list(d1).index(de_doc) == 0            # qlang=de keeps it on top
+
+    # engine == oracle under the same prior (shared kernel)
+    corpus = pa.concat_tables(
+        [generate_conv_rows(np.arange(40)), de_tbl])
+    orc = OracleIndex(corpus)
+    prior = language_prior(idx, "de", 0.05)
+    d2, s2 = orc.search("w0042", se.n_docs, doc_prior=prior, lang="de")
+    assert list(d1) == list(d2) and list(s1) == list(s2)

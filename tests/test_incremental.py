@@ -200,3 +200,52 @@ def test_salt_all_incremental_lifecycle(ray_session):
         d2, s2 = oracle.search(q, k)
         assert list(d1) == list(d2) and list(s1) == list(s2), qid
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_delete_by_query_then_revive(ray_session):
+    """PageReindex analogue: delete every doc matching a query, then
+    revive one by re-adding its conversation — scores must equal a fresh
+    build over the corresponding live corpus at each step."""
+    from open_source_search_engine_ray.functions.ghash import (
+        doc_id_for_conv)
+    from open_source_search_engine_ray.index.build import build_index
+    from open_source_search_engine_ray.index.merge import delete_by_query
+
+    idx7 = IDX + "_dbq"
+    shutil.rmtree(idx7, ignore_errors=True)
+    build_index(lambda: transcripts_dataset(80), idx7,
+                input_token="dbq:base")
+    se0 = IndexSearcher(idx7)
+    victims, _ = se0.search("w0042", se0.n_docs)
+    victim_set = {int(v) for v in victims}
+    assert len(victims) >= 2
+    assert delete_by_query(idx7, "w0042") == len(victims)
+
+    se1 = IndexSearcher(idx7)
+    d, _ = se1.search("w0042", 10)
+    assert len(d) == 0                       # all matches tombstoned
+    # every query behaves like a fresh build over the survivors
+    live_idx = [i for i in range(80)
+                if doc_id_for_conv(f"conv-{i:08d}") not in victim_set]
+    oracle = OracleIndex(generate_conv_rows(np.array(live_idx)))
+    assert se1.n_docs == oracle.n_docs
+    for qid, q, k in query_set():
+        d1, s1 = se1.search(q, k)
+        d2, s2 = oracle.search(q, k)
+        assert list(d1) == list(d2) and list(s1) == list(s2), (qid, q)
+
+    # revive ONE victim by re-adding its conversation
+    ri = next(i for i in range(80)
+              if doc_id_for_conv(f"conv-{i:08d}") in victim_set)
+    add_documents(idx7, lambda: transcripts_dataset_range(ri, ri + 1),
+                  input_token="dbq:revive")
+    se2 = IndexSearcher(idx7)
+    d, _ = se2.search("w0042", 10)
+    assert doc_id_for_conv(f"conv-{ri:08d}") in {int(x) for x in d}
+    oracle2 = OracleIndex(generate_conv_rows(
+        np.array(sorted(live_idx + [ri]))))
+    for qid, q, k in query_set():
+        d1, s1 = se2.search(q, k)
+        d2, s2 = oracle2.search(q, k)
+        assert list(d1) == list(d2) and list(s1) == list(s2), (qid, q)
+    shutil.rmtree(idx7, ignore_errors=True)

@@ -237,6 +237,65 @@ def test_multimodal_real_decode(entrymod):
     # the full pipeline runs over the corpus
     df = entrymod.queries()["multimodal_features"](SF).to_pandas()
     assert len(df) == 500 and len(df["features"].iloc[0]) == 8
+    assert set(df["media_type"]) == {"image/x-portable-pixmap",
+                                     "image/png", "audio/wav"}
+
+
+def test_png_codec_byte_exact():
+    """decode_png must recover the EXACT pixels: encoder round-trip for
+    every supported channel count, plus hand-filtered scanlines
+    exercising all five PNG filter types against a per-byte reference
+    unfilter."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from open_source_search_engine_ray.pipelines.multimodal import (
+        PNG_SIG, _png_chunk, decode_png, encode_png)
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, (9, 7, ch), dtype=np.uint8)
+        out = decode_png(encode_png(px))
+        assert out.shape == (9, 7, ch) and (out == px).all(), ch
+
+    # hand-build a 5-row RGB image where row i uses filter type i,
+    # and unfilter it with an independent per-byte reference
+    h, w, ch = 5, 6, 3
+    stride = w * ch
+    px = rng.integers(0, 256, (h, stride), dtype=np.uint8)
+    raw = bytearray()
+    for i in range(h):
+        f = i % 5
+        raw.append(f)
+        prev = px[i - 1].astype(int) if i else np.zeros(stride, int)
+        for x in range(stride):
+            left = int(px[i, x - ch]) if x >= ch else 0
+            up = int(prev[x])
+            ul = int(prev[x - ch]) if x >= ch else 0
+            cur = int(px[i, x])
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = cur - left
+            elif f == 2:
+                filt = cur - up
+            elif f == 3:
+                filt = cur - ((left + up) >> 1)
+            else:
+                p = left + up - ul
+                pa_, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa_ <= pb and pa_ <= pc) else \
+                    (up if pb <= pc else ul)
+                filt = cur - pred
+            raw.append(filt & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+    out = decode_png(payload)
+    assert (out.reshape(h, stride) == px).all()
 
 
 def test_ivf_cosine_recall_anchor(entrymod):
