@@ -738,28 +738,29 @@ def order_priority_revenue(sf_dir: str):
     tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
         lineitem.map_batches(combine_lineitem, batch_format="pyarrow"))
 
-    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
-        is_order = g["rev_e4"].to_numpy() < 0
-        okeys = g["orderkey"].to_numpy()[is_order]
+    _empty_join = pa.table({"priority": pa.array([], pa.string()),
+                            "n_orders_part": pa.array([], pa.int64()),
+                            "rev_e4_part": pa.array([], pa.int64())})
+
+    def bucket_join(g: pa.Table) -> pa.Table:
+        # Arrow group block, numpy kernels — no per-group pandas round-trip
+        rev_all = g["rev_e4"].to_numpy()
+        keys_all = g["orderkey"].to_numpy()
+        is_order = rev_all < 0
+        okeys = keys_all[is_order]
         if len(okeys) == 0:        # bucket with lineitems but no orders
-            return pd.DataFrame({
-                "priority": np.array([], dtype=object),
-                "n_orders_part": np.array([], dtype=np.int64),
-                "rev_e4_part": np.array([], dtype=np.int64)})
-        oprio = g["priority"].to_numpy()[is_order]
+            return _empty_join
+        oprio = g["priority"].to_numpy(zero_copy_only=False)[is_order]
         oorder = np.argsort(okeys, kind="stable")
         okeys, oprio = okeys[oorder], oprio[oorder]
-        lkeys = g["orderkey"].to_numpy()[~is_order]
-        lrev = g["rev_e4"].to_numpy()[~is_order]
+        lkeys = keys_all[~is_order]
+        lrev = rev_all[~is_order]
         idx = np.searchsorted(okeys, lkeys)
         hit = (idx < len(okeys))
         idx = np.minimum(idx, len(okeys) - 1)
         hit &= okeys[idx] == lkeys
         if not hit.any():
-            return pd.DataFrame({
-                "priority": np.array([], dtype=object),
-                "n_orders_part": np.array([], dtype=np.int64),
-                "rev_e4_part": np.array([], dtype=np.int64)})
+            return _empty_join
         # revenue per priority: reduceat over priority-sorted matches
         prio = oprio[idx[hit]]
         porder = np.argsort(prio, kind="stable")
@@ -771,14 +772,14 @@ def order_priority_revenue(sf_dir: str):
         ops, ocounts = np.unique(oprio[uniq_orders], return_counts=True)
         n_orders = np.zeros(len(ps), dtype=np.int64)
         n_orders[np.searchsorted(ps, ops)] = ocounts
-        return pd.DataFrame({
-            "priority": ps,
-            "n_orders_part": n_orders,
-            "rev_e4_part": rev_sums,
+        return pa.table({
+            "priority": pa.array(ps, pa.string()),
+            "n_orders_part": pa.array(n_orders),
+            "rev_e4_part": pa.array(rev_sums.astype(np.int64)),
         })
 
     joined = tagged.groupby("bucket").map_groups(
-        bucket_join, batch_format="pandas")
+        bucket_join, batch_format="pyarrow")
 
     agg = joined.groupby("priority").aggregate(
         Sum("n_orders_part", alias_name="n_orders"),

@@ -27,6 +27,22 @@ def _read_emb(sf_dir: str):
                                  columns=["vec_id", "embedding"])
 
 
+def _topk_group(group: pa.Table) -> pa.Table:
+    """Per-query top-``TOP_K`` by (sim desc, vec_id asc) — Arrow/numpy on
+    the zero-copy group block (the pandas conversion this used to pay per
+    group was the dominant per-group cost)."""
+    sim = group["sim"].to_numpy()
+    vid = group["vec_id"].to_numpy()
+    order = np.lexsort((vid, -sim))[:TOP_K]
+    return pa.table({
+        "query_vec_id": pa.array(
+            group["query_vec_id"].to_numpy()[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        "vec_id": pa.array(vid[order], pa.int64()),
+        "sim": pa.array(np.round(sim[order], 6), pa.float64()),
+    })
+
+
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
@@ -62,16 +78,8 @@ def cosine_topk(sf_dir: str):
 
     scored = _read_emb(sf_dir).map_batches(sims, batch_format="pyarrow")
 
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "vec_id"],
-                              ascending=[False, True]).head(TOP_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["sim"] = g["sim"].round(6)
-        return g[["query_vec_id", "rank", "vec_id", "sim"]]
-
-    return scored.groupby("query_vec_id").map_groups(topk,
-                                                     batch_format="pandas")
+    return scored.groupby("query_vec_id").map_groups(
+        _topk_group, batch_format="pyarrow")
 
 
 def cosine_topk_sql() -> str:
@@ -333,16 +341,8 @@ def ivf_cosine_topk(sf_dir: str):
 
     scored = _read_emb(sf_dir).map_batches(cell_sims, batch_format="pyarrow")
 
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "vec_id"],
-                              ascending=[False, True]).head(TOP_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["sim"] = g["sim"].round(6)
-        return g[["query_vec_id", "rank", "vec_id", "sim"]]
-
-    return scored.groupby("query_vec_id").map_groups(topk,
-                                                     batch_format="pandas")
+    return scored.groupby("query_vec_id").map_groups(
+        _topk_group, batch_format="pyarrow")
 
 
 class LshCosine:
@@ -405,16 +405,8 @@ def lsh_cosine_topk(sf_dir: str):
         LshCosine, batch_format="pyarrow", concurrency=(1, 4))
     scored = bucketed.map_batches(bucket_sims, batch_format="pyarrow")
 
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "vec_id"],
-                              ascending=[False, True]).head(TOP_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["sim"] = g["sim"].round(6)
-        return g[["query_vec_id", "rank", "vec_id", "sim"]]
-
-    return scored.groupby("query_vec_id").map_groups(topk,
-                                                     batch_format="pandas")
+    return scored.groupby("query_vec_id").map_groups(
+        _topk_group, batch_format="pyarrow")
 
 
 def embedding_kmeans(sf_dir: str):

@@ -621,16 +621,23 @@ class QueryEvalStage:
     def __init__(self, index_dir: str):
         self.searcher = IndexSearcher(index_dir)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
-        for qid, q, k in zip(batch["query_id"], batch["query"], batch["k"]):
+        for qid, q, k in zip(batch["query_id"].to_pylist(),
+                             batch["query"].to_pylist(),
+                             batch["k"].to_pylist()):
             docs, scores = self.searcher.search(q, int(k))
             n = len(docs)
             out["query_id"].extend([qid] * n)
             out["rank"].extend(range(1, n + 1))
             out["doc_id"].extend(int(d) for d in docs)
             out["score"].extend(float(s) for s in scores)
-        return pd.DataFrame(out)
+        return pa.table({
+            "query_id": pa.array(out["query_id"], pa.string()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),  # 63-bit-safe
+            "score": pa.array(out["score"], pa.float64()),
+        })
 
 
 def evaluate_queries_distributed(index_dir: str, queries: list[tuple[str, str, int]],
@@ -645,5 +652,5 @@ def evaluate_queries_distributed(index_dir: str, queries: list[tuple[str, str, i
     # one actor's single giant batch
     return qds.map_batches(
         QueryEvalStage, fn_constructor_kwargs={"index_dir": index_dir},
-        batch_format="pandas", batch_size=2,
+        batch_format="pyarrow", batch_size=2,
         concurrency=concurrency)
