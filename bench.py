@@ -25,6 +25,23 @@ def _sf_dir() -> str:
     return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _host_probe() -> dict:
+    """Machine-detectable steal-window evidence (VERDICT r4 #10): the
+    1-minute load average plus a fixed-work single-thread CPU probe
+    (1k×1k float64 matmul) — on a quiet host the probe is stable run to
+    run, so an inflated probe marks a section whose absolute timings
+    should be read against BASELINE.md's steal caveat."""
+    import numpy as np
+
+    la = os.getloadavg()
+    a = np.random.default_rng(0).standard_normal((1000, 1000))
+    t0 = time.perf_counter()
+    (a @ a).sum()
+    probe_ms = (time.perf_counter() - t0) * 1000
+    return {"loadavg_1m": round(la[0], 2), "loadavg_5m": round(la[1], 2),
+            "cpu_probe_ms": round(probe_ms, 1)}
+
+
 def _num_cpus() -> int:
     return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -48,6 +65,7 @@ def run_headline(sf_dir: str, num_cpus: int, full: bool = True,
         n_conv_for_sf, transcripts_parquet)
 
     out: dict = {}
+    out["host_probe_start"] = _host_probe()
     n_conv = int(os.environ.get("OSSE_BENCH_NCONV", "0")) or \
         n_conv_for_sf(sf_dir)
     idx_dir = f"/tmp/bench_idx_{num_cpus}"
@@ -110,6 +128,15 @@ def run_headline(sf_dir: str, num_cpus: int, full: bool = True,
             reps_b.append(time.time() - t)
         out["worst_query_budgeted_ms"] = round(min(reps_b) * 1000, 2)
         out["worst_query_budgeted_partial"] = bool(partial)
+        # EXACT intra-query parallelism (docId-range split, Msg39
+        # analogue) on the same worst query — unbudgeted, rank-identical
+        se.search_parallel(worst_q, 10)        # pay the ray.put once
+        reps_p = []
+        for _ in range(3):
+            t = time.time()
+            se.search_parallel(worst_q, 10)
+            reps_p.append(time.time() - t)
+        out["worst_query_parallel_ms"] = round(min(reps_p) * 1000, 2)
 
     # batch throughput (all queries through the distributed actor pool)
     t0 = time.time()
@@ -192,6 +219,7 @@ def run_headline(sf_dir: str, num_cpus: int, full: bool = True,
         out["saltall_query_warm_ms"] = round(min(reps) * 1000, 2)
         shutil.rmtree(sa_dir, ignore_errors=True)
 
+    out["host_probe_end"] = _host_probe()
     ray.shutdown()
     return out
 
