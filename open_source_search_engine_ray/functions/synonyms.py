@@ -365,12 +365,155 @@ def _verb_variants(low: str) -> list[str]:
     return out
 
 
-def variants_for(token: str) -> list[str]:
+# ---------------------------------------------------------------------------
+# non-English generative morphology (Synonyms.cpp:53-140 covers many
+# languages via Wiktionary/STO dictionaries; the dictionaries are data
+# files this repo does not ship, so — like the English path above — the
+# MECHANISM is implemented generatively from public grammar rules for the
+# languages whose query-stopword sets exist: de/fr/es/it/pt.  Wrong
+# guesses cost a df=0 lookup and nothing else.)
+# ---------------------------------------------------------------------------
+
+LANG_NUMBER_WORDS: dict[str, dict[str, str]] = {
+    "de": {"null": "0", "eins": "1", "zwei": "2", "drei": "3",
+           "vier": "4", "fünf": "5", "sechs": "6", "sieben": "7",
+           "acht": "8", "neun": "9", "zehn": "10", "elf": "11",
+           "zwölf": "12", "zwanzig": "20", "dreißig": "30",
+           "hundert": "100", "tausend": "1000"},
+    "fr": {"zéro": "0", "un": "1", "deux": "2", "trois": "3",
+           "quatre": "4", "cinq": "5", "six": "6", "sept": "7",
+           "huit": "8", "neuf": "9", "dix": "10", "onze": "11",
+           "douze": "12", "vingt": "20", "trente": "30", "cent": "100",
+           "mille": "1000"},
+    "es": {"cero": "0", "uno": "1", "dos": "2", "tres": "3",
+           "cuatro": "4", "cinco": "5", "seis": "6", "siete": "7",
+           "ocho": "8", "nueve": "9", "diez": "10", "once": "11",
+           "doce": "12", "veinte": "20", "treinta": "30", "cien": "100",
+           "mil": "1000"},
+    "it": {"zero": "0", "uno": "1", "due": "2", "tre": "3",
+           "quattro": "4", "cinque": "5", "sei": "6", "sette": "7",
+           "otto": "8", "nove": "9", "dieci": "10", "undici": "11",
+           "dodici": "12", "venti": "20", "trenta": "30", "cento": "100",
+           "mille": "1000"},
+    "pt": {"zero": "0", "um": "1", "dois": "2", "três": "3",
+           "quatro": "4", "cinco": "5", "seis": "6", "sete": "7",
+           "oito": "8", "nove": "9", "dez": "10", "onze": "11",
+           "doze": "12", "vinte": "20", "trinta": "30", "cem": "100",
+           "mil": "1000"},
+}
+_LANG_DIGIT_WORDS = {lg: {v: k for k, v in tbl.items()}
+                     for lg, tbl in LANG_NUMBER_WORDS.items()}
+
+
+def _variants_de(low: str) -> list[str]:
+    """German noun inflection candidates, both directions (plural classes
+    -e/-en/-n/-er/-s; umlaut shifts are lexical and left to df=0)."""
+    out = [low + s for s in ("e", "en", "n", "er", "s")]
+    for s in ("en", "er", "e", "n", "s"):
+        if low.endswith(s) and len(low) - len(s) >= 3:
+            out.append(low[: -len(s)])
+    return out
+
+
+def _variants_fr(low: str) -> list[str]:
+    out: list[str] = []
+    if low.endswith("aux") and len(low) > 4:
+        out.append(low[:-3] + "al")            # journaux → journal
+    if low.endswith(("s", "x")) and len(low) > 3:
+        out.append(low[:-1])
+    if not low.endswith(("s", "x", "z")):
+        out.append(low + "s")
+        if low.endswith(("eau", "eu")):
+            out.append(low + "x")              # châteaux, jeux
+    if low.endswith("al") and len(low) > 3:
+        out.append(low[:-2] + "aux")
+    return out
+
+
+def _variants_es(low: str) -> list[str]:
+    out: list[str] = []
+    if low.endswith("ces") and len(low) > 4:
+        out.append(low[:-3] + "z")             # voces → voz
+    elif low.endswith("es") and len(low) > 3:
+        out.append(low[:-2])
+        out.append(low[:-1])                   # clases → clase
+    elif low.endswith("s") and len(low) > 3:
+        out.append(low[:-1])
+    if low.endswith("z"):
+        out.append(low[:-1] + "ces")
+    elif low.endswith(tuple("aeiou")):
+        out.append(low + "s")
+    else:
+        out.append(low + "es")
+    return out
+
+
+def _variants_it(low: str) -> list[str]:
+    out: list[str] = []
+    if low.endswith("o") and len(low) > 2:
+        out.append(low[:-1] + "i")             # libro → libri
+    elif low.endswith("a") and len(low) > 2:
+        out.append(low[:-1] + "e")             # casa → case
+    elif low.endswith("e") and len(low) > 2:
+        out.append(low[:-1] + "i")             # cane → cani
+        out.append(low[:-1] + "a")             # case → casa
+    elif low.endswith("i") and len(low) > 2:
+        out.append(low[:-1] + "o")
+        out.append(low[:-1] + "e")
+    return out
+
+
+def _variants_pt(low: str) -> list[str]:
+    out: list[str] = []
+    if low.endswith("ões") and len(low) > 4:
+        out.append(low[:-3] + "ão")            # nações → nação
+    elif low.endswith("ns") and len(low) > 3:
+        out.append(low[:-2] + "m")             # homens? (-ns → -m)
+    elif low.endswith("es") and len(low) > 3:
+        out.append(low[:-2])
+        out.append(low[:-1])
+    elif low.endswith("s") and len(low) > 3:
+        out.append(low[:-1])
+    if low.endswith("ão"):
+        out.append(low[:-2] + "ões")
+    elif low.endswith("m"):
+        out.append(low[:-1] + "ns")
+    elif low.endswith(tuple("aeiou")):
+        out.append(low + "s")
+    else:
+        out.append(low + "es")
+    return out
+
+
+_LANG_RULES = {"de": _variants_de, "fr": _variants_fr, "es": _variants_es,
+               "it": _variants_it, "pt": _variants_pt}
+
+
+def variants_for(token: str, lang: str = "en") -> list[str]:
     """All expansion alternatives for one lowercase query token, capped at
     ``MAX_VARIANTS`` (priority: number, curated set, irregular forms,
-    possessive/contraction, plural/singular, verb forms, spelling)."""
-    out: list[str] = []
+    possessive/contraction, plural/singular, verb forms, spelling).
+    ``lang`` selects the generative ruleset; unknown languages fall back
+    to no expansion (never apply English morphology to another
+    language's tokens)."""
     low = token.lower()
+    if lang != "en":
+        rules = _LANG_RULES.get(lang)
+        if rules is None:
+            return []
+        out = []
+        nw = LANG_NUMBER_WORDS.get(lang, {})
+        dw = _LANG_DIGIT_WORDS.get(lang, {})
+        if low in nw:
+            out.append(nw[low])
+        if low in dw:
+            out.append(dw[low])
+        if low.isalpha() and len(low) >= 2:
+            out.extend(rules(low))
+        seen = {low}
+        uniq = [v for v in out if not (v in seen or seen.add(v))]
+        return uniq[:MAX_VARIANTS]
+    out: list[str] = []
     if low in NUMBER_WORDS:
         out.append(NUMBER_WORDS[low])
     if low in DIGIT_WORDS:
@@ -400,14 +543,29 @@ def variants_for(token: str) -> list[str]:
 
 class GenerativeSynonyms:
     """Dict-like synonym source: ``.get(token)`` generates variants on
-    demand — usable anywhere a ``dict[str, list[str]]`` table is."""
+    demand — usable anywhere a ``dict[str, list[str]]`` table is.  One
+    instance per language (``lang`` selects the ruleset)."""
+
+    def __init__(self, lang: str = "en"):
+        self.lang = lang
 
     def get(self, token: str, default=()):
-        v = variants_for(token)
+        v = variants_for(token, self.lang)
         return v if v else default
 
     def __contains__(self, token: str) -> bool:
-        return bool(variants_for(token))
+        return bool(variants_for(token, self.lang))
 
 
 DEFAULT_SYNONYMS = GenerativeSynonyms()
+_TABLES: dict[str, GenerativeSynonyms] = {"en": DEFAULT_SYNONYMS}
+
+
+def synonyms_table(lang: str) -> GenerativeSynonyms:
+    """Per-language synonym table (cached) — ``synonyms="default"`` in
+    the engine/oracle resolves through this, so query expansion follows
+    the query language."""
+    t = _TABLES.get(lang)
+    if t is None:
+        t = _TABLES[lang] = GenerativeSynonyms(lang)
+    return t

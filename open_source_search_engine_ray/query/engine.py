@@ -342,8 +342,8 @@ class IndexSearcher:
             raise ValueError(
                 "doc_prior is not supported with rerank='proximity'")
         if synonyms == "default":
-            from ..functions.synonyms import DEFAULT_SYNONYMS
-            synonyms = DEFAULT_SYNONYMS
+            from ..functions.synonyms import synonyms_table
+            synonyms = synonyms_table(lang)   # expansion follows qlang
         if wiki_bigrams == "default":
             from ..functions.wiki_phrases import DEFAULT_WIKI_BIGRAMS
             wiki_bigrams = DEFAULT_WIKI_BIGRAMS
@@ -518,8 +518,8 @@ class IndexSearcher:
         from .kernel import candidate_docs
 
         if synonyms == "default":
-            from ..functions.synonyms import DEFAULT_SYNONYMS
-            synonyms = DEFAULT_SYNONYMS
+            from ..functions.synonyms import synonyms_table
+            synonyms = synonyms_table(lang)   # expansion follows qlang
         pq_ = parse_query(query, self.config.bigram_weight,
                           synonyms=synonyms, lang=lang,
                           position_mode=self.config.position_mode)
@@ -545,8 +545,8 @@ class IndexSearcher:
         from .kernel import evaluate_after
 
         if synonyms == "default":
-            from ..functions.synonyms import DEFAULT_SYNONYMS
-            synonyms = DEFAULT_SYNONYMS
+            from ..functions.synonyms import synonyms_table
+            synonyms = synonyms_table(lang)   # expansion follows qlang
         pq_ = parse_query(query, self.config.bigram_weight,
                           synonyms=synonyms, lang=lang,
                           position_mode=self.config.position_mode)

@@ -115,8 +115,8 @@ class OracleIndex:
             raise ValueError(
                 "doc_prior is not supported with rerank='proximity'")
         if synonyms == "default":
-            from ..functions.synonyms import DEFAULT_SYNONYMS
-            synonyms = DEFAULT_SYNONYMS
+            from ..functions.synonyms import synonyms_table
+            synonyms = synonyms_table(lang)   # expansion follows qlang
         if wiki_bigrams == "default":
             from ..functions.wiki_phrases import DEFAULT_WIKI_BIGRAMS
             wiki_bigrams = DEFAULT_WIKI_BIGRAMS

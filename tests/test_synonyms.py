@@ -104,3 +104,59 @@ def test_effective_breadth_over_10k_entries():
     # and the dict-like surface agrees with the function
     assert DEFAULT_SYNONYMS.get("go") == variants_for("go")
     assert "colour" in DEFAULT_SYNONYMS
+
+
+def test_multilanguage_variants():
+    """Non-English generative morphology (Synonyms.cpp:53-140 covers many
+    languages; the mechanism here is rule-generated per language):
+    plural/singular both directions + number words, and NO English
+    morphology leaking into other languages."""
+    from open_source_search_engine_ray.functions.synonyms import (
+        variants_for)
+
+    assert "journal" in variants_for("journaux", lang="fr")
+    assert "châteaux" in variants_for("château", lang="fr")
+    assert "20" in variants_for("vingt", lang="fr")
+    assert "voz" in variants_for("voces", lang="es")
+    assert "clase" in variants_for("clases", lang="es")
+    assert "libri" in variants_for("libro", lang="it")
+    assert "case" in variants_for("casa", lang="it")
+    assert "nação" in variants_for("nações", lang="pt")
+    assert "nações" in variants_for("nação", lang="pt")
+    assert "3" in variants_for("drei", lang="de")
+    assert "drei" in variants_for("3", lang="de")
+    assert "hunde" in variants_for("hund", lang="de")
+    assert "hund" in variants_for("hunde", lang="de")
+    # unknown language: no expansion at all (never English rules)
+    assert variants_for("running", lang="xx") == []
+    # English default unchanged
+    assert "ran" in variants_for("run")
+
+
+def test_default_synonyms_follow_query_lang(ray_session, tmp_path):
+    """synonyms='default' + lang= resolves to the language's table: a
+    German plural query matches the singular document."""
+    import pyarrow as pa
+    import ray.data
+
+    from open_source_search_engine_ray.index.build import build_index
+    from open_source_search_engine_ray.query.engine import IndexSearcher
+    from open_source_search_engine_ray.sources.transcripts import (
+        TRANSCRIPTS_SCHEMA)
+
+    tbl = pa.table({
+        "conv_id": ["conv-de1", "conv-de2"],
+        "turn_idx": pa.array([0, 0], pa.int32()),
+        "role": ["user", "user"],
+        "text": ["der hund bellt laut", "die katze schläft gern"],
+        "tool": pa.array([None, None], pa.string()),
+        "ts": pa.array([0, 0], pa.timestamp("us")),
+    }).cast(TRANSCRIPTS_SCHEMA)
+    idx = str(tmp_path / "syn_de")
+    build_index(lambda: ray.data.from_arrow(tbl), idx,
+                input_token="syn:de")
+    se = IndexSearcher(idx)
+    d0, _ = se.search("hunde", 5, lang="de")            # no expansion
+    assert len(d0) == 0
+    d1, _ = se.search("hunde", 5, synonyms="default", lang="de")
+    assert len(d1) == 1                                 # hunde → hund
