@@ -59,6 +59,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             transcripts_flagship.transcripts_search_budgeted,
         "transcripts_doc_prior_topk":
             transcripts_flagship.transcripts_doc_prior_topk,
+        "transcripts_search_parallel":
+            transcripts_flagship.transcripts_search_parallel,
+        "transcripts_search_lang":
+            transcripts_flagship.transcripts_search_lang,
+        "transcripts_delete_by_query":
+            transcripts_flagship.transcripts_delete_by_query,
         # document search with SQL-replicable semantics
         "bm25_topk_docs": doc_search.bm25_topk_docs,
         "engine_bm25_docs": engine_docs.engine_bm25_docs,

@@ -246,3 +246,99 @@ def transcripts_doc_prior_topk(sf_dir: str):
         "doc_id": pa.array(out["doc_id"], pa.int64()),
         "score": pa.array(out["score"], pa.float64()),
     })
+
+
+def transcripts_search_parallel(sf_dir: str):
+    """→ (query_id, rank, doc_id, score) via the EXACT docId-range-split
+    parallel path (``IndexSearcher.search_parallel`` — the
+    ``Msg39.cpp:411-466`` per-query docid-range split).  Must equal
+    ``transcripts_bm25_topk`` row for row (rank identity is the pytest
+    gate, tests/test_distributed.py); rows-only driver check."""
+    from ..query.engine import IndexSearcher
+
+    idx_dir = ensure_index(sf_dir)
+    se = IndexSearcher(idx_dir)
+    out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, q, k in query_set()[:8]:
+        docs, scores = se.search_parallel(q, k, n_ranges=4)
+        for r, (d, s) in enumerate(zip(docs, scores), start=1):
+            out["query_id"].append(qid)
+            out["rank"].append(r)
+            out["doc_id"].append(int(d))
+            out["score"].append(round(float(s), 6))
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+    })
+
+
+def transcripts_search_lang(sf_dir: str):
+    """→ (query_id, rank, doc_id, score, doc_lang) under the per-doc
+    language prior (``PosdbTable.cpp:3918`` langWeight / qlang —
+    query/langprior.py): the doclang table builds from the live docstore
+    on first use, and non-qlang docs score ×0.5.  Rows-only driver check;
+    the rank-flip + engine==oracle gate is tests/test_budget_prior.py."""
+    from ..query.engine import IndexSearcher
+    from ..query.langprior import load_doclang
+
+    idx_dir = ensure_index(sf_dir)
+    se = IndexSearcher(idx_dir)
+    ids, langs = load_doclang(idx_dir)
+    out = {"query_id": [], "rank": [], "doc_id": [], "score": [],
+           "doc_lang": []}
+    for qid, q, k in query_set()[:6]:
+        docs, scores = se.search_lang(q, k, qlang="en", lang_weight=0.5)
+        for r, (d, s) in enumerate(zip(docs, scores), start=1):
+            out["query_id"].append(qid)
+            out["rank"].append(r)
+            out["doc_id"].append(int(d))
+            out["score"].append(round(float(s), 6))
+            out["doc_lang"].append(
+                str(langs[np.searchsorted(ids, np.uint64(d))]))
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+        "doc_lang": pa.array(out["doc_lang"], pa.string()),
+    })
+
+
+def transcripts_delete_by_query(sf_dir: str):
+    """→ (query, n_deleted, n_hits_after, n_docs_after) — the
+    query-driven delete (``PageReindex.cpp`` analogue,
+    ``index.merge.delete_by_query``) exercised on a scratch COPY of the
+    cached flagship index (driver entries must not mutate shared state).
+    Deterministic; rows-only driver check (tombstone semantics aren't
+    SQL-expressible over the raw corpus)."""
+    import shutil
+
+    from ..index.merge import delete_by_query
+    from ..query.engine import IndexSearcher
+
+    idx_dir = ensure_index(sf_dir)
+    scratch = idx_dir + "_dbq_scratch"
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.copytree(idx_dir, scratch)
+    try:
+        queries = ["w0042", "w0007 w0011"]
+        out = {"query": [], "n_deleted": [], "n_hits_after": [],
+               "n_docs_after": []}
+        for q in queries:
+            n = delete_by_query(scratch, q)
+            se = IndexSearcher(scratch)
+            d, _ = se.search(q, 10)
+            out["query"].append(q)
+            out["n_deleted"].append(int(n))
+            out["n_hits_after"].append(int(len(d)))
+            out["n_docs_after"].append(int(se.n_docs))
+        return pa.table({
+            "query": pa.array(out["query"], pa.string()),
+            "n_deleted": pa.array(out["n_deleted"], pa.int64()),
+            "n_hits_after": pa.array(out["n_hits_after"], pa.int64()),
+            "n_docs_after": pa.array(out["n_docs_after"], pa.int64()),
+        })
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
