@@ -51,6 +51,13 @@ def main(argv=None) -> int:
     q.add_argument("--snippets", action="store_true")
     q.add_argument("--timeout-ms", type=float, default=None,
                    help="query deadline; expired fetches -> partial")
+    q.add_argument("--parallel", action="store_true",
+                   help="exact docId-range-split evaluation across Ray "
+                        "tasks (Msg39 range-split analogue)")
+    q.add_argument("--qlang", default=None,
+                   help="query language: weights non-matching docs by "
+                        "--lang-weight via the per-doc language prior")
+    q.add_argument("--lang-weight", type=float, default=None)
     q.add_argument("--max-list-bytes", type=int, default=None,
                    help="per-term decoded-list cap (~30MB reference cap)")
 
@@ -66,6 +73,12 @@ def main(argv=None) -> int:
 
     c = sub.add_parser("compact")
     c.add_argument("--index", required=True)
+
+    dq = sub.add_parser("delete-query",
+                        help="tombstone every doc matching a query "
+                             "(PageReindex.cpp delete path)")
+    dq.add_argument("--index", required=True)
+    dq.add_argument("--q", required=True)
 
     bq = sub.add_parser("bench-queries")
     bq.add_argument("--index", required=True)
@@ -100,6 +113,14 @@ def main(argv=None) -> int:
                 docs, scores, partial = se.search_budgeted(
                     args.q, args.k, timeout_ms=args.timeout_ms,
                     max_list_bytes=args.max_list_bytes)
+            elif args.qlang is not None:
+                docs, scores = se.search_lang(
+                    args.q, args.k, qlang=args.qlang,
+                    lang_weight=args.lang_weight)
+                partial = False
+            elif args.parallel:
+                docs, scores = se.search_parallel(args.q, args.k)
+                partial = False
             else:
                 docs, scores = se.search(args.q, args.k)
                 partial = False
@@ -131,6 +152,11 @@ def main(argv=None) -> int:
         meta = compact(args.index)
         print(json.dumps({"n_docs": meta["n_docs"],
                           "n_postings": meta["n_postings"]}))
+    elif args.cmd == "delete-query":
+        from .index.merge import delete_by_query
+
+        n = delete_by_query(args.index, args.q)
+        print(json.dumps({"deleted_docs": int(n)}))
     elif args.cmd == "bench-queries":
         from .query.engine import IndexSearcher
         from .sources.queryset import query_set

@@ -38,3 +38,19 @@ def test_cli_build_query_suggest(cli_corpus, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "w042 -> w0042" in r.stdout
     assert "corrected: w0042 the" in r.stdout
+
+    # exact parallel path + language-weighted path return full pages
+    r = _run("query", "--index", idx, "--q", "w0042", "--parallel")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "hits in" in r.stdout
+    r = _run("query", "--index", idx, "--q", "w0042", "--qlang", "en")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "hits in" in r.stdout
+
+    # delete-by-query tombstones every match; the query then returns none
+    r = _run("delete-query", "--index", idx, "--q", "w0042")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"deleted_docs"' in r.stdout
+    r = _run("query", "--index", idx, "--q", "w0042")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "(0 hits in" in r.stdout
