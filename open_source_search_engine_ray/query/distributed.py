@@ -98,6 +98,8 @@ class DistributedSearcher:
                  for i in range(n_servers)]
         self._servers = [server_cls.remote(index_dir, o) for o in owned]
         self._cache = LruBytesCache(256 << 20)
+        # (term, positions?) → ObjectRef cache for the parallel path
+        self._part_refs: dict = {}
 
     def _servers_for_term(self, term_id: int) -> list[int]:
         servers = set()
@@ -175,14 +177,41 @@ class DistributedSearcher:
         over the surviving lists."""
         import time
 
-        import ray
-
-        from .engine import _truncate_postings
-
         deadline = (time.monotonic() + timeout_ms / 1000.0
                     if timeout_ms is not None else None)
         pq_ = parse_query(query, self.config.bigram_weight,
                           position_mode=self.config.position_mode)
+        lists, partial = self._collect_lists(pq_, deadline, max_list_bytes)
+        docs, scores = evaluate(pq_, lists, self.n_docs, self.avgdl,
+                                self.config, k, prune=not partial)
+        return docs, scores, partial
+
+    def search_parallel(self, query: str, k: int = 10,
+                        n_ranges: int | None = None):
+        """EXACT docId-range-split evaluation over the coordinator's
+        merged lists — the ``Msg39.cpp:411-466`` range split stacked on
+        the term-shard fetch topology; rank- and score-identical to
+        ``search()`` (same shared helper as the local searcher,
+        tests/test_distributed.py)."""
+        from .engine import parallel_evaluate
+
+        pq_ = parse_query(query, self.config.bigram_weight,
+                          position_mode=self.config.position_mode)
+        lists, _ = self._collect_lists(pq_, None, None)
+        return parallel_evaluate(pq_, lists, self.n_docs, self.avgdl,
+                                 self.config, k, n_ranges,
+                                 self._part_refs)
+
+    def _collect_lists(self, pq_, deadline, max_list_bytes):
+        """Concurrent fan-out + deadline-gated collection of every term's
+        merged postings (the body shared by the budgeted and parallel
+        paths)."""
+        import time
+
+        import ray
+
+        from .engine import _truncate_postings
+
         phrase_terms = pq_.position_term_ids()
         futures: dict[int, list] = {}
         for t in pq_.terms:
@@ -227,6 +256,4 @@ class DistributedSearcher:
                 tp, cut = _truncate_postings(tp, max_list_bytes)
                 partial = partial or cut
             lists[tid] = tp
-        docs, scores = evaluate(pq_, lists, self.n_docs, self.avgdl,
-                                self.config, k, prune=not partial)
-        return docs, scores, partial
+        return lists, partial

@@ -133,6 +133,62 @@ def _get_range_task():
     return _RANGE_TASK
 
 
+def parallel_evaluate(pq_: ParsedQuery,
+                      lists: dict[int, TermPostings | None],
+                      n_docs: int, avgdl: float, config: IndexConfig,
+                      k: int, n_ranges: int | None,
+                      part_refs: dict):
+    """Shared docId-range-split evaluation used by both the local and the
+    distributed searcher (the lists are already in coordinator memory
+    either way).  ``part_refs`` is the caller's (term, positions?) →
+    ObjectRef cache so repeated queries over hot terms pay ``ray.put``
+    once."""
+    import ray
+
+    from ..functions.bm25 import topk_merge
+
+    sizes = [len(tp.doc_ids) for tp in lists.values() if tp is not None]
+    total = int(np.sum(sizes)) if sizes else 0
+    if n_ranges is None:
+        n_ranges = min(16, total // PARALLEL_MIN_POSTINGS)
+    if n_ranges <= 1 or not sizes or not ray.is_initialized():
+        return evaluate(pq_, lists, n_docs, avgdl, config, k)
+    # boundaries: quantile docIds of the LARGEST list (the dominant
+    # scan), so ranges carry near-equal work even under docId skew
+    big = max((tp.doc_ids for tp in lists.values()
+               if tp is not None), key=len)
+    cut_idx = np.linspace(0, len(big) - 1,
+                          n_ranges + 1).astype(np.int64)[1:-1]
+    cuts = np.unique(big[cut_idx]).astype(np.uint64)
+    bounds = np.concatenate([[np.uint64(0)], cuts,
+                             [np.uint64(1) << np.uint64(63)]])
+    refs: dict[int, object] = {}
+    for tid, tp in lists.items():
+        if tp is None:
+            refs[tid] = None
+            continue
+        key = (tid, tp.positions is not None)
+        ref = part_refs.get(key)
+        if ref is None:
+            d = {"doc_ids": tp.doc_ids, "tfs": tp.tfs, "dl": tp.dl,
+                 "df": int(tp.df)}
+            if tp.positions is not None:
+                d["positions"] = tp.positions
+            if len(part_refs) > 256:   # bounded ref table
+                part_refs.clear()
+            ref = ray.put(d)
+            part_refs[key] = ref
+        refs[tid] = ref
+    task = _get_range_task()
+    futs = [task.remote(refs, pq_, int(lo), int(hi), n_docs,
+                        avgdl, config, k)
+            for lo, hi in zip(bounds[:-1], bounds[1:])]
+    parts = ray.get(futs)
+    docs = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    return topk_merge(docs, scores, k)
+
+
 class _GenIndex:
     """Readers + hot map for one generation directory."""
 
@@ -439,55 +495,12 @@ class IndexSearcher:
 
         ``n_ranges=None`` sizes ranges to ~PARALLEL_MIN_POSTINGS postings
         and falls back to the single-process kernel for small queries."""
-        import ray
-
-        from ..functions.bm25 import topk_merge
-
         pq_ = parse_query(query, self.config.bigram_weight, lang=lang,
                           position_mode=self.config.position_mode)
         lists = self._lists_for(pq_)
-        sizes = [len(tp.doc_ids) for tp in lists.values()
-                 if tp is not None]
-        total = int(np.sum(sizes)) if sizes else 0
-        if n_ranges is None:
-            n_ranges = min(16, total // PARALLEL_MIN_POSTINGS)
-        if n_ranges <= 1 or not sizes or not ray.is_initialized():
-            return evaluate(pq_, lists, self.n_docs, self.avgdl,
-                            self.config, k)
-        # boundaries: quantile docIds of the LARGEST list (the dominant
-        # scan), so ranges carry near-equal work even under docId skew
-        big = max((tp.doc_ids for tp in lists.values()
-                   if tp is not None), key=len)
-        cut_idx = np.linspace(0, len(big) - 1,
-                              n_ranges + 1).astype(np.int64)[1:-1]
-        cuts = np.unique(big[cut_idx]).astype(np.uint64)
-        bounds = np.concatenate([[np.uint64(0)], cuts,
-                                 [np.uint64(1) << np.uint64(63)]])
-        refs: dict[int, object] = {}
-        for tid, tp in lists.items():
-            if tp is None:
-                refs[tid] = None
-                continue
-            key = (tid, tp.positions is not None)
-            ref = self._part_refs.get(key)
-            if ref is None:
-                d = {"doc_ids": tp.doc_ids, "tfs": tp.tfs, "dl": tp.dl,
-                     "df": int(tp.df)}
-                if tp.positions is not None:
-                    d["positions"] = tp.positions
-                if len(self._part_refs) > 256:   # bounded ref table
-                    self._part_refs.clear()
-                ref = ray.put(d)
-                self._part_refs[key] = ref
-            refs[tid] = ref
-        task = _get_range_task()
-        futs = [task.remote(refs, pq_, int(lo), int(hi), self.n_docs,
-                            self.avgdl, self.config, k)
-                for lo, hi in zip(bounds[:-1], bounds[1:])]
-        parts = ray.get(futs)
-        docs = np.concatenate([p[0] for p in parts])
-        scores = np.concatenate([p[1] for p in parts])
-        return topk_merge(docs, scores, k)
+        return parallel_evaluate(pq_, lists, self.n_docs, self.avgdl,
+                                 self.config, k, n_ranges,
+                                 self._part_refs)
 
     def search_lang(self, query: str, k: int = 10, qlang: str = "en",
                     lang_weight: float | None = None):

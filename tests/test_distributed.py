@@ -54,6 +54,18 @@ def test_search_parallel_equals_local(both):
             assert list(s1) == list(s2), (qid, q, n_ranges)
 
 
+def test_distributed_search_parallel_equals_local(both):
+    """The distributed coordinator's range-split path must also reproduce
+    the local searcher exactly (shared parallel_evaluate helper over its
+    fetched+merged lists)."""
+    local, dist = both
+    for qid, q, k in query_set():
+        d1, s1 = local.search(q, k)
+        d2, s2 = dist.search_parallel(q, k, n_ranges=3)
+        assert list(d1) == list(d2), (qid, q)
+        assert list(s1) == list(s2), (qid, q)
+
+
 def test_search_parallel_auto_small_query_stays_local(both):
     """Auto range sizing must fall back to the single-process kernel for
     small queries (n_ranges computed from total postings)."""
