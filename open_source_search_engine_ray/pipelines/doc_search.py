@@ -74,12 +74,18 @@ def _term_tf_batch(batch: pa.Table, terms: set[str]) -> pa.Table:
 
 
 def _doc_len_batch(batch: pa.Table) -> pa.Table:
-    doc_ids = batch["doc_id"].to_numpy()
-    dl = np.fromiter((len(tokenize_simple(t or ""))
-                      for t in batch["text"].to_pylist()),
-                     dtype=np.int64, count=len(doc_ids))
-    return pa.table({"doc_id": pa.array(doc_ids.astype(np.int64)),
-                     "dl": pa.array(dl, pa.int64())})
+    """Per-doc token count via the Arrow RE2 kernel: the number of
+    ``tokenize_simple`` tokens equals the number of ``[a-zA-Z0-9]+`` runs
+    (lowercasing never splits or joins an alnum run), so the whole-column
+    count replaces the per-row Python tokenize (~20× on this stage)."""
+    import pyarrow.compute as pc
+
+    dl = pc.count_substring_regex(pc.fill_null(batch["text"], ""),
+                                  "[a-zA-Z0-9]+")
+    return pa.table({
+        "doc_id": pa.array(batch["doc_id"].to_numpy().astype(np.int64)),
+        "dl": pc.cast(dl, pa.int64()),
+    })
 
 
 def bm25_topk_docs(sf_dir: str):
