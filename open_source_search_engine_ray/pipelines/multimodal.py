@@ -15,13 +15,16 @@ environment can handle without codec libraries:
   decode — chunk walk + stdlib ``zlib`` inflate + the full scanline
   unfilter set (None/Sub/Up/Average/Paeth) in numpy (vectorized rows;
   Sub via wrapping uint8 cumsum), byte-exact against the encoder
-  (tests/test_pipelines.py golden).
+  (tests/test_pipelines.py golden);
+- ``image/jpeg`` (baseline sequential, 8-bit, 4:4:4): REAL lossy
+  decode — Huffman entropy decode, dequantization and vectorized
+  IDCT in ``functions/jpeg.py``, quantization-bounded against the
+  matching encoder (tests/test_pipelines.py golden).
 
-Codecs that genuinely need external libraries (JPEG/MP3/H.264) still
-raise ``NotImplementedError`` behind a clearly-marked gate.  The Ray
+Codecs that genuinely need external libraries (MP3/H.264) still raise
+``NotImplementedError`` behind a clearly-marked gate.  The Ray
 plumbing — binary schema, payload-sized batches, per-actor state — is
-identical for both classes, so swapping a real JPEG decoder in is a
-one-method change.
+identical for both classes.
 """
 
 from __future__ import annotations
@@ -34,10 +37,12 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from ..functions.jpeg import decode_jpeg, encode_jpeg
+
 FEAT_DIM = 8
 SAMPLE_RATE = 8000
 
-_COMPRESSED = {"image/jpeg", "audio/mpeg", "video/mp4"}
+_COMPRESSED = {"audio/mpeg", "video/mp4"}
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}   # gray, rgb, gray+a, rgba
@@ -58,6 +63,20 @@ def _make_png(doc_id: int) -> bytes:
     h, w = 12 + int(doc_id) % 21, 12 + (int(doc_id) // 5) % 19
     pixels = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     return encode_png(pixels)
+
+
+def _make_jpeg(doc_id: int) -> bytes:
+    """Deterministic smooth image (JPEG is lossy; smooth content keeps
+    the round-trip error quantization-bounded rather than ringing)."""
+    rng = np.random.default_rng([96, doc_id])
+    h, w = 16 + int(doc_id) % 15, 16 + (int(doc_id) // 7) % 11
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    phase = rng.uniform(0, 2 * np.pi, 3)
+    chans = [128 + 100 * np.sin(yy / 9 + phase[0]) * np.cos(xx / 7),
+             128 + 90 * np.cos((yy + xx) / 11 + phase[1]),
+             128 + 80 * np.sin(xx / 5 + phase[2])]
+    pixels = np.clip(np.stack(chans, -1), 0, 255).astype(np.uint8)
+    return encode_jpeg(pixels, quality=85)
 
 
 def _make_wav(doc_id: int) -> bytes:
@@ -89,12 +108,16 @@ def payloads_dataset(sf_dir: str):
     def to_payload(b: pa.Table) -> pa.Table:
         payloads, media = [], []
         for d in b["doc_id"].to_numpy():
-            if int(d) % 3 == 0:
+            m = int(d) % 4
+            if m == 0:
                 payloads.append(_make_ppm(int(d)))
                 media.append("image/x-portable-pixmap")
-            elif int(d) % 3 == 1:
+            elif m == 1:
                 payloads.append(_make_png(int(d)))
                 media.append("image/png")
+            elif m == 2:
+                payloads.append(_make_jpeg(int(d)))
+                media.append("image/jpeg")
             else:
                 payloads.append(_make_wav(int(d)))
                 media.append("audio/wav")
@@ -267,12 +290,16 @@ class DecodeStage:
         if media_type in _COMPRESSED:
             raise NotImplementedError(
                 f"{media_type} needs a codec library not present in this "
-                "environment; supported here: PPM + PNG images, PCM16 "
-                "WAV audio")
-        if media_type in ("image/x-portable-pixmap", "image/png"):
-            img = (decode_ppm(payload)
-                   if media_type == "image/x-portable-pixmap"
-                   else decode_png(payload))
+                "environment; supported here: PPM + PNG + baseline JPEG "
+                "images, PCM16 WAV audio")
+        if media_type in ("image/x-portable-pixmap", "image/png",
+                          "image/jpeg"):
+            if media_type == "image/x-portable-pixmap":
+                img = decode_ppm(payload)
+            elif media_type == "image/png":
+                img = decode_png(payload)
+            else:
+                img = decode_jpeg(payload)
             if img.shape[2] == 1:          # gray → stack to 3 channels
                 img = np.repeat(img, 3, axis=2)
             elif img.shape[2] == 2:        # gray+alpha → drop alpha

@@ -230,15 +230,16 @@ def test_multimodal_real_decode(entrymod):
     feats = stage._features_for(buf.getvalue(), "audio/wav")
     assert abs(feats[2] * (rate / 2) - 1000) < 50   # centroid ≈ 1 kHz
 
-    # compressed formats stay gated
+    # formats that genuinely need codec libraries stay gated
     with pytest.raises(NotImplementedError):
-        stage._features_for(b"\xff\xd8\xff", "image/jpeg")
+        stage._features_for(b"\x00\x01", "audio/mpeg")
 
     # the full pipeline runs over the corpus
     df = entrymod.queries()["multimodal_features"](SF).to_pandas()
     assert len(df) == 500 and len(df["features"].iloc[0]) == 8
     assert set(df["media_type"]) == {"image/x-portable-pixmap",
-                                     "image/png", "audio/wav"}
+                                     "image/png", "image/jpeg",
+                                     "audio/wav"}
 
 
 def test_png_codec_byte_exact():
@@ -296,6 +297,66 @@ def test_png_codec_byte_exact():
                + _png_chunk(b"IEND", b""))
     out = decode_png(payload)
     assert (out.reshape(h, stride) == px).all()
+
+
+def test_jpeg_codec_roundtrip():
+    """Baseline JPEG codec: real entropy decode + dequant + IDCT.
+    Uniform images round-trip exactly (DC-only), smooth gradients are
+    quantization-bounded, and the decoder's profile gates (progressive
+    SOF2, subsampled chroma, restart intervals) raise loudly."""
+    import struct
+
+    import numpy as np
+
+    from open_source_search_engine_ray.functions.jpeg import (
+        decode_jpeg, encode_jpeg)
+
+    # uniform color: every 8x8 block is DC-only → exact reconstruction
+    px = np.full((16, 24, 3), (60, 120, 200), np.uint8)
+    out = decode_jpeg(encode_jpeg(px, 90))
+    assert out.shape == (16, 24, 3) and (out == px).all()
+
+    # smooth gradient (non-multiple-of-8 dims): error bounded by the
+    # q=90 quantization step, well under visual thresholds
+    yy, xx = np.mgrid[0:24, 0:17]
+    img = np.stack([np.clip(yy * 8, 0, 255), np.clip(xx * 10, 0, 255),
+                    np.clip(100 + yy * 3 + xx * 2, 0, 255)],
+                   -1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 90))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 6 and err.mean() < 2.0
+
+    # grayscale single-component scan
+    g = np.clip(yy * 7 + xx * 3, 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, 90))
+    assert out.shape == (24, 17, 1)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 3
+
+    # random noise survives the round trip structurally (lossy values)
+    rng = np.random.default_rng(5)
+    nz = rng.integers(0, 256, (13, 29, 3), np.uint8)
+    assert decode_jpeg(encode_jpeg(nz, 75)).shape == (13, 29, 3)
+
+    # profile gates
+    payload = bytearray(encode_jpeg(g, 90))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2                       # rewrite SOF0 → SOF2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    payload = bytearray(encode_jpeg(img, 90))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 2 + 2 + 6 + 1] += 0x11          # comp 1 sampling 1x1→2x2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    payload = bytearray(encode_jpeg(g, 90))
+    i = payload.find(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
+    payload[i:i] = dri                          # inject DRI interval=8
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
 
 
 def test_ivf_cosine_recall_anchor(entrymod):
