@@ -108,6 +108,15 @@ def main(argv=None) -> int:
                                        args.k).to_pandas().to_string())
         else:
             se = IndexSearcher(args.index)
+            modes = [m for m, on in [
+                ("--timeout-ms/--max-list-bytes",
+                 args.timeout_ms is not None
+                 or args.max_list_bytes is not None),
+                ("--qlang", args.qlang is not None),
+                ("--parallel", args.parallel)] if on]
+            if len(modes) > 1:
+                ap.error("query modes are mutually exclusive, got: "
+                         + ", ".join(modes))
             t0 = time.time()
             if args.timeout_ms is not None or args.max_list_bytes is not None:
                 docs, scores, partial = se.search_budgeted(
@@ -130,10 +139,9 @@ def main(argv=None) -> int:
             tag = " PARTIAL" if partial else ""
             print(f"({len(docs)} hits in {dt * 1000:.1f} ms{tag})")
     elif args.cmd == "suggest":
-        from .query.spell import SpellSuggester, _vocab_path, build_vocab
+        from .query.spell import SpellSuggester, ensure_vocab
 
-        if not os.path.exists(_vocab_path(args.index)):
-            build_vocab(args.index)
+        ensure_vocab(args.index)
         sp = SpellSuggester(args.index)
         for w in args.q.split():
             for s, d, cf in sp.suggest(w, k=args.k):

@@ -380,6 +380,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # skip 0xFF fill bytes before the marker code (T.81 §B.1.1.2:
+        # any marker may be preceded by any number of fill bytes)
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:                            # EOI
@@ -461,13 +465,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     nby, nbx = (ih + 7) // 8, (iw + 7) // 8
     br = _BitReader(scan)
     ncomp = len(comps)
+    if len(sos_comps) != ncomp:
+        raise NotImplementedError(
+            "multi-scan JPEG (SOS component count != frame components)")
     zz_planes = [np.zeros((nby, nbx, 64), np.int64) for _ in range(ncomp)]
     prev_dc = [0] * ncomp
-    sos_by_id = {cid: (td, ta) for cid, td, ta in sos_comps}
+    # MCU data is interleaved in SOS SCAN order (T.81 §B.2.3), which may
+    # differ from SOF frame order — map each scan slot to its frame plane
+    comp_idx = {cid: i for i, (cid, _tq) in enumerate(comps)}
+    scan_order = [(comp_idx[cid], td, ta) for cid, td, ta in sos_comps]
     for by in range(nby):
         for bx in range(nbx):
-            for ci, (cid, _tq) in enumerate(comps):
-                td, ta = sos_by_id[cid]
+            for ci, td, ta in scan_order:
                 dct, act = dc_tabs[td], ac_tabs[ta]
                 zz = zz_planes[ci][by, bx]
                 cat = _decode_huffman(br, dct)

@@ -23,6 +23,7 @@ generations:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -46,6 +47,22 @@ LIVE_CARRY_DRIVER_MAX_BYTES = 256 << 20
 
 def _gens_path(out_dir: str) -> str:
     return os.path.join(out_dir, GENERATIONS_FILE)
+
+
+def index_state_token(out_dir: str) -> str:
+    """Fingerprint of the index's mutable state — the generations doc and
+    the tombstone table, which every maintenance op (add/delete/compact)
+    rewrites.  Derived tables built from the live docstore (spell vocab,
+    doclang) embed this token when written and rebuild when it no longer
+    matches, so a maintained index never serves stale derived data."""
+    h = hashlib.sha1()
+    for name in (GENERATIONS_FILE, TOMBSTONES_FILE):
+        p = os.path.join(out_dir, name)
+        if os.path.exists(p):
+            h.update(name.encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()
 
 
 def read_generations(out_dir: str) -> dict:
@@ -220,24 +237,36 @@ def _conflict_winners(out_dir: str, gen_list: list[dict]):
     return doc[order], dup["win_gen"].to_numpy().astype(np.int32)[order]
 
 
+def live_keep_mask(doc: np.ndarray, gen: int, cdoc, cwin,
+                   tdoc, tdead) -> np.ndarray:
+    """THE newest-file-wins + negative-key-annihilation keep mask
+    (``RdbList.cpp:2361-2372``) for rows of generation ``gen``: False
+    where a newer generation re-added the doc (``cwin > gen``) or a
+    tombstone covers it (``tdead >= gen``).  ``cdoc``/``tdoc`` must be
+    sorted.  Every live view — the streaming batch filter, the driver
+    fast paths, compact's carry — calls this one helper so the mask
+    semantics cannot diverge between paths."""
+    keep = np.ones(len(doc), dtype=bool)
+    if len(cdoc):
+        idx = np.clip(np.searchsorted(cdoc, doc), 0, len(cdoc) - 1)
+        keep &= ~((cdoc[idx] == doc) & (cwin[idx] > gen))
+    if len(tdoc):
+        idx = np.clip(np.searchsorted(tdoc, doc), 0, len(tdoc) - 1)
+        keep &= ~((tdoc[idx] == doc) & (tdead[idx] >= gen))
+    return keep
+
+
 def _make_live_filter(gen: int, conflict_ref, tomb_ref):
     """Batch filter dropping superseded (a newer generation re-added the
-    doc) and tombstoned rows — the ``RdbList`` newest-file-wins +
-    negative-key annihilation (``RdbList.cpp:2361-2372``) as a map-side
-    mask over broadcast arrays."""
+    doc) and tombstoned rows — :func:`live_keep_mask` as a map-side
+    filter over broadcast arrays."""
     import ray
 
     def f(b: pa.Table) -> pa.Table:
         cdoc, cwin = ray.get(conflict_ref)
         tdoc, tdead = ray.get(tomb_ref)
         doc = b["doc_id"].to_numpy().astype(np.uint64)
-        keep = np.ones(len(doc), dtype=bool)
-        if len(cdoc):
-            idx = np.clip(np.searchsorted(cdoc, doc), 0, len(cdoc) - 1)
-            keep &= ~((cdoc[idx] == doc) & (cwin[idx] > gen))
-        if len(tdoc):
-            idx = np.clip(np.searchsorted(tdoc, doc), 0, len(tdoc) - 1)
-            keep &= ~((tdoc[idx] == doc) & (tdead[idx] >= gen))
+        keep = live_keep_mask(doc, gen, cdoc, cwin, tdoc, tdead)
         return b if keep.all() else b.filter(pa.array(keep))
     return f
 
@@ -344,16 +373,9 @@ def _live_table_driver(out_dir: str, gen_list: list[dict], subdir: str,
         d = os.path.join(gen_dir(out_dir, g["gen"]), subdir)
         t = pads.dataset(d, format="parquet").to_table()
         if len(cdoc) or len(tdoc):
-            gid = int(g["gen"])
             doc = t["doc_id"].to_numpy().astype(np.uint64)
-            keep = np.ones(len(doc), dtype=bool)
-            if len(cdoc):
-                idx = np.clip(np.searchsorted(cdoc, doc), 0, len(cdoc) - 1)
-                keep &= ~((cdoc[idx] == doc) & (cwin[idx] > gid))
-            if len(tdoc):
-                idx = np.clip(np.searchsorted(tdoc, doc), 0,
-                              len(tdoc) - 1)
-                keep &= ~((tdoc[idx] == doc) & (tdead[idx] >= gid))
+            keep = live_keep_mask(doc, int(g["gen"]), cdoc, cwin,
+                                  tdoc, tdead)
             if not keep.all():
                 t = t.filter(pa.array(keep))
         tables.append(t)
@@ -390,14 +412,7 @@ def _live_totals_driver(out_dir: str, gen_list: list[dict],
     cdoc, cwin = uniq[dup], win[dup]
     n_docs, total_dlq = 0, 0
     for doc, dlq, gid in zip(docs_per_gen, dlq_per_gen, gen_ids):
-        keep = np.ones(len(doc), dtype=bool)
-        if len(cdoc):
-            idx = np.clip(np.searchsorted(cdoc, doc), 0, len(cdoc) - 1)
-            keep &= ~((cdoc[idx] == doc) & (cwin[idx] > gid))
-        if len(tomb_doc):
-            idx = np.clip(np.searchsorted(tomb_doc, doc), 0,
-                          len(tomb_doc) - 1)
-            keep &= ~((tomb_doc[idx] == doc) & (tomb_dead[idx] >= gid))
+        keep = live_keep_mask(doc, gid, cdoc, cwin, tomb_doc, tomb_dead)
         n_docs += int(keep.sum())
         total_dlq += int(dlq[keep].sum())
     return n_docs, total_dlq

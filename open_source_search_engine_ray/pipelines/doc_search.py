@@ -74,17 +74,28 @@ def _term_tf_batch(batch: pa.Table, terms: set[str]) -> pa.Table:
 
 
 def _doc_len_batch(batch: pa.Table) -> pa.Table:
-    """Per-doc token count via the Arrow RE2 kernel: the number of
-    ``tokenize_simple`` tokens equals the number of ``[a-zA-Z0-9]+`` runs
-    (lowercasing never splits or joins an alnum run), so the whole-column
-    count replaces the per-row Python tokenize (~20× on this stage)."""
+    """Per-doc token count via the Arrow RE2 kernel.  For ASCII text the
+    number of ``tokenize_simple`` tokens equals the number of
+    ``[a-zA-Z0-9]+`` runs (ASCII lowercasing never splits or joins an
+    alnum run), so the whole-column count replaces the per-row Python
+    tokenize (~20× on this stage).  Non-ASCII rows fall back to
+    ``tokenize_simple`` itself: Python's full case mapping can split a
+    run (``'İ'.lower()`` → ``'i\\u0307'``) where Arrow's simple mapping
+    does not, and dl must match the tf pass and the SQL oracle exactly."""
     import pyarrow.compute as pc
 
-    dl = pc.count_substring_regex(pc.fill_null(batch["text"], ""),
-                                  "[a-zA-Z0-9]+")
+    text = pc.fill_null(batch["text"], "")
+    dl = pc.count_substring_regex(text, "[a-zA-Z0-9]+") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    non_ascii = np.nonzero(
+        ~pc.string_is_ascii(text).to_numpy(zero_copy_only=False))[0]
+    if len(non_ascii):
+        rows = text.take(pa.array(non_ascii)).to_pylist()
+        for i, t in zip(non_ascii, rows):
+            dl[i] = len(tokenize_simple(t))
     return pa.table({
         "doc_id": pa.array(batch["doc_id"].to_numpy().astype(np.int64)),
-        "dl": pc.cast(dl, pa.int64()),
+        "dl": pa.array(dl, pa.int64()),
     })
 
 

@@ -161,11 +161,10 @@ def transcripts_spell_suggest(sf_dir: str):
     the Speller.cpp query-suggestion surface (query/spell.py: SymSpell
     deletion-neighborhood over the corpus vocabulary, popularity-ranked).
     Rows-only driver check; goldens live in tests/test_spell.py."""
-    from ..query.spell import SpellSuggester, _vocab_path, build_vocab
+    from ..query.spell import SpellSuggester, ensure_vocab
 
     idx_dir = ensure_index(sf_dir)
-    if not os.path.exists(_vocab_path(idx_dir)):
-        build_vocab(idx_dir)
+    ensure_vocab(idx_dir)
     sp = SpellSuggester(idx_dir)
     typos = ["w042", "w00422", "teh", "w9z99", "w0007"]
     out = {"typo": [], "rank": [], "suggestion": [], "distance": [],
@@ -295,8 +294,10 @@ def transcripts_search_lang(sf_dir: str):
             out["rank"].append(r)
             out["doc_id"].append(int(d))
             out["score"].append(round(float(s), 6))
+            pos = int(np.searchsorted(ids, np.uint64(d)))
             out["doc_lang"].append(
-                str(langs[np.searchsorted(ids, np.uint64(d))]))
+                str(langs[pos]) if pos < len(ids) and ids[pos] == d
+                else "unknown")
     return pa.table({
         "query_id": pa.array(out["query_id"], pa.string()),
         "rank": pa.array(out["rank"], pa.int64()),

@@ -72,8 +72,11 @@ class LruBytesCache:
         self._d.move_to_end(key)
         return ent[0]
 
-    def put(self, key, value) -> None:
-        size = approx_nbytes(value)
+    def put(self, key, value, size: int | None = None) -> None:
+        """Insert ``value``; ``size`` overrides the estimate when the
+        stored object is a handle (e.g. a Ray ObjectRef) whose real
+        payload lives elsewhere."""
+        size = approx_nbytes(value) if size is None else int(size)
         old = self._d.pop(key, None)
         if old is not None:
             self._bytes -= old[1]

@@ -98,8 +98,9 @@ class DistributedSearcher:
                  for i in range(n_servers)]
         self._servers = [server_cls.remote(index_dir, o) for o in owned]
         self._cache = LruBytesCache(256 << 20)
-        # (term, positions?) → ObjectRef cache for the parallel path
-        self._part_refs: dict = {}
+        # (term, positions?) → ObjectRef cache for the parallel path,
+        # byte-bounded by the payload each ref pins in the object store
+        self._part_refs = LruBytesCache(256 << 20)
 
     def _servers_for_term(self, term_id: int) -> list[int]:
         servers = set()

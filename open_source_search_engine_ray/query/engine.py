@@ -30,7 +30,7 @@ from ..config import IndexConfig
 from ..index.build import load_meta
 from ..index.manifest import segment_path
 from ..index.segments import SegmentReader, decode_posting_row
-from .cache import MISSING, LruBytesCache
+from .cache import MISSING, LruBytesCache, approx_nbytes
 from .kernel import TermPostings, evaluate
 from .parse import ParsedQuery, parse_query
 
@@ -74,6 +74,9 @@ def _truncate_postings(tp: TermPostings,
 # target postings per docId range of the parallel exact path — below
 # this per-range size, task fixed costs beat the kernel time saved
 PARALLEL_MIN_POSTINGS = 150_000
+
+_EMPTY_U64 = np.zeros(0, np.uint64)
+_EMPTY_I32 = np.zeros(0, np.int32)
 
 
 def _slice_postings(tp: TermPostings, lo: int, hi: int
@@ -142,7 +145,10 @@ def parallel_evaluate(pq_: ParsedQuery,
     distributed searcher (the lists are already in coordinator memory
     either way).  ``part_refs`` is the caller's (term, positions?) →
     ObjectRef cache so repeated queries over hot terms pay ``ray.put``
-    once."""
+    once; it is an :class:`LruBytesCache` bounded by the PAYLOAD bytes
+    each ref pins in the object store (a count bound would let 256
+    hot-term lists pin gigabytes), and eviction drops the driver's
+    reference so Ray reclaims the copy."""
     import ray
 
     from ..functions.bm25 import topk_merge
@@ -174,10 +180,8 @@ def parallel_evaluate(pq_: ParsedQuery,
                  "df": int(tp.df)}
             if tp.positions is not None:
                 d["positions"] = tp.positions
-            if len(part_refs) > 256:   # bounded ref table
-                part_refs.clear()
             ref = ray.put(d)
-            part_refs[key] = ref
+            part_refs.put(key, ref, size=approx_nbytes(d))
         refs[tid] = ref
     task = _get_range_task()
     futs = [task.remote(refs, pq_, int(lo), int(hi), n_docs,
@@ -261,16 +265,22 @@ class IndexSearcher:
         # query stream; hot stopword lists stay resident via recency
         self._cache = LruBytesCache(cache_bytes)
         # object-store refs of broadcast term payloads for the parallel
-        # exact path (ray.put once, zero-copy read per range task)
-        self._part_refs: dict = {}
+        # exact path (ray.put once, zero-copy read per range task);
+        # byte-bounded like the decoded-list cache — each ref pins its
+        # full payload in the object store until evicted
+        self._part_refs = LruBytesCache(cache_bytes)
 
     def _dead_mask(self, doc_ids: np.ndarray, gen: int) -> np.ndarray:
-        """True where the doc is tombstoned for this generation."""
+        """True where the doc is tombstoned for this generation — the
+        tombstone half of :func:`index.merge.live_keep_mask` (postings
+        resolve newest-generation-wins during the merge itself, so only
+        annihilation applies here)."""
+        from ..index.merge import live_keep_mask
+
         if len(self.tomb_doc) == 0 or len(doc_ids) == 0:
             return np.zeros(len(doc_ids), dtype=bool)
-        idx = np.clip(np.searchsorted(self.tomb_doc, doc_ids), 0,
-                      len(self.tomb_doc) - 1)
-        return (self.tomb_doc[idx] == doc_ids) & (self.tomb_dead[idx] >= gen)
+        return ~live_keep_mask(doc_ids, gen, _EMPTY_U64, _EMPTY_I32,
+                               self.tomb_doc, self.tomb_dead)
 
     def get_postings(self, term_id: int,
                      with_positions: bool = False) -> TermPostings | None:

@@ -86,8 +86,12 @@ def build_doclang(out_dir: str) -> str:
             "doc_id": pa.array(tbl["doc_id"].to_numpy().astype(np.uint64)),
             "lang": pa.array(tbl["lang"], pa.string()),
         })
+    from ..index.merge import index_state_token
+
     path = _doclang_path(out_dir)
     tmp = path + ".tmp"
+    out = out.replace_schema_metadata(
+        {b"index_state": index_state_token(out_dir).encode()})
     pq.write_table(out, tmp)
     os.replace(tmp, path)
     return path
@@ -95,9 +99,19 @@ def build_doclang(out_dir: str) -> str:
 
 def load_doclang(out_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """→ (sorted doc_ids uint64, lang codes object array); builds the
-    table on first use if absent."""
+    table on first use and REBUILDS it whenever the index has been
+    maintained (add/delete/compact) since it was written — the embedded
+    index-state token is the staleness check, so a maintained index
+    scores exactly like a fresh build over the live corpus."""
+    from ..index.merge import index_state_token
+
     path = _doclang_path(out_dir)
-    if not os.path.exists(path):
+    current = index_state_token(out_dir)
+    if os.path.exists(path):
+        meta = pq.read_schema(path).metadata or {}
+        if meta.get(b"index_state", b"").decode() != current:
+            build_doclang(out_dir)
+    else:
         build_doclang(out_dir)
     t = pq.read_table(path)
     return (t["doc_id"].to_numpy().astype(np.uint64),
@@ -109,16 +123,16 @@ def language_prior(out_dir: str, qlang: str,
                    _cache: dict = {}):
     """→ ``(sorted_doc_ids, multipliers)`` for ``search(doc_prior=...)``:
     docs classified as ``qlang`` keep score ×1.0, every other doc scores
-    ×``weight``.  The loaded table is cached per index dir (keyed on
-    file mtime, invalidated by rebuilds)."""
-    path = _doclang_path(out_dir)
-    mtime = os.path.getmtime(path) if os.path.exists(path) else None
-    key = (out_dir, mtime)
+    ×``weight``.  The loaded table is cached per index dir, keyed on the
+    index-state token so any add/delete/compact invalidates it."""
+    from ..index.merge import index_state_token
+
+    key = (out_dir, index_state_token(out_dir))
     hit = _cache.get(key)
     if hit is None:
         _cache.clear()
         hit = load_doclang(out_dir)
-        _cache[(out_dir, os.path.getmtime(path))] = hit
+        _cache[key] = hit
     ids, langs = hit
     mults = np.where(langs == qlang, 1.0, float(weight))
     return ids, mults

@@ -78,11 +78,30 @@ def build_vocab(out_dir: str, max_terms: int = VOCAB_MAX_TERMS) -> str:
     else:
         tbl = pa.table({"term": pa.array(df["term"], pa.string()),
                         "cf": pa.array(df["cf"].astype(np.int64))})
+    from ..index.merge import index_state_token
+
     path = _vocab_path(out_dir)
     tmp = path + ".tmp"
+    tbl = tbl.replace_schema_metadata(
+        {b"index_state": index_state_token(out_dir).encode()})
     pq.write_table(tbl, tmp)
     os.replace(tmp, path)
     return path
+
+
+def ensure_vocab(out_dir: str, max_terms: int = VOCAB_MAX_TERMS) -> str:
+    """Build the vocabulary if absent OR stale (the index was maintained
+    — add/delete/compact — after the vocab was written; the embedded
+    index-state token is the check).  Returns the vocab path."""
+    from ..index.merge import index_state_token
+
+    path = _vocab_path(out_dir)
+    if os.path.exists(path):
+        meta = pq.read_schema(path).metadata or {}
+        if meta.get(b"index_state", b"").decode() == index_state_token(
+                out_dir):
+            return path
+    return build_vocab(out_dir, max_terms)
 
 
 def _deletes(word: str, max_edit: int, prefix_len: int) -> set[str]:

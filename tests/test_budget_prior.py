@@ -187,3 +187,53 @@ def test_language_prior_build_and_rank_flip(ray_session, tmp_path):
     prior = language_prior(idx, "de", 0.05)
     d2, s2 = orc.search("w0042", se.n_docs, doc_prior=prior, lang="de")
     assert list(d1) == list(d2) and list(s1) == list(s2)
+
+
+def test_derived_tables_rebuild_after_maintenance(ray_session, tmp_path):
+    """doclang.parquet and vocab.parquet embed the index-state token and
+    REBUILD when the index is maintained after they were written — a
+    maintained index must never serve stale derived data (the maintained
+    == fresh invariant extends to search_lang and the spell suggester)."""
+    import pyarrow as pa
+    import ray.data
+
+    from open_source_search_engine_ray.functions.ghash import (
+        doc_ids_for_convs)
+    from open_source_search_engine_ray.index.build import build_index
+    from open_source_search_engine_ray.index.merge import add_documents
+    from open_source_search_engine_ray.query.langprior import load_doclang
+    from open_source_search_engine_ray.query.spell import (
+        SpellSuggester, ensure_vocab)
+    from open_source_search_engine_ray.sources.transcripts import (
+        TRANSCRIPTS_SCHEMA, transcripts_dataset)
+
+    idx = str(tmp_path / "stale_idx")
+    build_index(lambda: transcripts_dataset(30), idx,
+                input_token="stale:base")
+    ids0, _ = load_doclang(idx)                  # builds fresh
+    ensure_vocab(idx)
+    sp0 = SpellSuggester(idx)
+    assert "zqvxw" not in sp0.cf_of
+
+    de_text = ("der hund und die katze sind nicht im haus aber der "
+               "zqvxw ist hier und das ist gut so oder nicht wirklich")
+    de_tbl = pa.table({
+        "conv_id": ["conv-st"], "turn_idx": pa.array([0], pa.int32()),
+        "role": ["user"], "text": [de_text],
+        "tool": pa.array([None], pa.string()),
+        "ts": pa.array([0], pa.timestamp("us")),
+    }).cast(TRANSCRIPTS_SCHEMA)
+    add_documents(idx, lambda: ray.data.from_arrow(de_tbl),
+                  input_token="stale:de")
+
+    # doclang: the new doc appears with its classified language
+    ids1, langs1 = load_doclang(idx)
+    assert len(ids1) == len(ids0) + 1
+    d = int(doc_ids_for_convs(["conv-st"])[0])
+    pos = int(np.searchsorted(ids1, np.uint64(d)))
+    assert ids1[pos] == np.uint64(d) and langs1[pos] == "de"
+
+    # vocab: ensure_vocab detects the stale token and rebuilds
+    ensure_vocab(idx)
+    sp1 = SpellSuggester(idx)
+    assert "zqvxw" in sp1.cf_of

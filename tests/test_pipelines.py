@@ -337,6 +337,12 @@ def test_jpeg_codec_roundtrip():
     nz = rng.integers(0, 256, (13, 29, 3), np.uint8)
     assert decode_jpeg(encode_jpeg(nz, 75)).shape == (13, 29, 3)
 
+    # spec-legal 0xFF fill bytes before a marker decode identically
+    j = encode_jpeg(img, 90)
+    i = j.find(b"\xff\xdb")
+    assert (decode_jpeg(j[:i] + b"\xff\xff" + j[i:])
+            == decode_jpeg(j)).all()
+
     # profile gates
     payload = bytearray(encode_jpeg(g, 90))
     i = payload.find(b"\xff\xc0")
