@@ -58,10 +58,14 @@ def index_state_token(out_dir: str) -> str:
     h = hashlib.sha1()
     for name in (GENERATIONS_FILE, TOMBSTONES_FILE):
         p = os.path.join(out_dir, name)
-        if os.path.exists(p):
-            h.update(name.encode())
-            with open(p, "rb") as f:
-                h.update(f.read())
+        try:
+            st = os.stat(p)
+        except FileNotFoundError:
+            continue
+        # stat fingerprint, not content hash: the token is recomputed on
+        # EVERY search_lang call (the prior-cache key), and both files
+        # are rewritten via os.replace so mtime_ns+size always moves
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
     return h.hexdigest()
 
 
