@@ -222,9 +222,13 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                scan_order: tuple[int, ...] | None = None) -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF bytes
-    (4:4:4, Annex-K tables, IJG quality scaling)."""
+    (4:4:4, Annex-K tables, IJG quality scaling).  ``scan_order``
+    permutes the SOS component order (a spec-legal degree of freedom,
+    T.81 §B.2.3) — the MCU data is interleaved to match; used to prove
+    the decoder follows scan order rather than frame order."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8 pixels")
@@ -259,9 +263,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     bw = _BitWriter()
     prev_dc = [0] * len(planes)
     nby, nbx = zz_planes[0].shape[:2]
+    order = (tuple(range(len(planes))) if scan_order is None
+             else tuple(scan_order))
+    if sorted(order) != list(range(len(planes))):
+        raise ValueError(f"scan_order must permute 0..{len(planes) - 1}")
     for by in range(nby):
         for bx in range(nbx):
-            for ci in range(len(planes)):
+            for ci in order:
                 ti = min(ci, 1)
                 zz = zz_planes[ci][by, bx]
                 cat, bits = _magnitude(int(zz[0]) - prev_dc[ci])
@@ -310,7 +318,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     for tid, bits, vals in huffs:
         out += _seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
     sos = bytes([ncomp])
-    for ci in range(ncomp):
+    for ci in order:
         t = min(ci, 1)
         sos += bytes([ci + 1, (t << 4) | t])
     sos += bytes([0, 63, 0])

@@ -343,6 +343,11 @@ def test_jpeg_codec_roundtrip():
     assert (decode_jpeg(j[:i] + b"\xff\xff" + j[i:])
             == decode_jpeg(j)).all()
 
+    # SOS scan order != SOF frame order is spec-legal (T.81 B.2.3):
+    # the decoder must follow the scan's interleave, not frame order
+    assert (decode_jpeg(encode_jpeg(img, 90, scan_order=(2, 1, 0)))
+            == decode_jpeg(j)).all()
+
     # profile gates
     payload = bytearray(encode_jpeg(g, 90))
     i = payload.find(b"\xff\xc0")
