@@ -10,13 +10,15 @@ IDCT, no codec library.
 
 Scope (asserted loudly, mirrored by the encoder):
 
-- **encoder**: baseline sequential DCT (SOF0), 8-bit, grayscale or
-  4:4:4 YCbCr (no chroma subsampling), Annex-K quantization + Huffman
-  tables, IJG-style quality scaling, JFIF container;
-- **decoder**: exactly that profile — baseline sequential, 8-bit,
-  all sampling factors 1×1, no restart intervals.  Progressive
-  (SOF2), arithmetic coding, subsampled chroma and restart markers
-  raise ``NotImplementedError`` with a message naming the gap.
+- **encoder**: baseline sequential DCT (SOF0), 8-bit, grayscale /
+  4:4:4 / 4:2:0 YCbCr, Annex-K quantization + Huffman tables,
+  IJG-style quality scaling, optional restart intervals (DRI + RSTn),
+  configurable SOS scan order, JFIF container;
+- **decoder**: baseline sequential, 8-bit, 4:4:4 / grayscale / 4:2:0
+  sampling, restart intervals, fill bytes, any SOS scan order — the
+  common real-world baseline profile.  Progressive (SOF2), arithmetic
+  coding, lossless and exotic sampling layouts raise
+  ``NotImplementedError`` with a message naming the gap.
 
 All tables below are the public ITU-T T.81 Annex-K example tables.
 """
@@ -222,13 +224,57 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
+def _encode_block(bw: _BitWriter, zz: np.ndarray, prev: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """Entropy-encode one zigzagged quantized block; returns its DC for
+    the caller's per-component predictor chain."""
+    cat, bits = _magnitude(int(zz[0]) - prev)
+    code, ln = dc_codes[cat]
+    bw.write(code, ln)
+    bw.write(bits, cat)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]                 # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(bits, cat)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]                     # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def _box2(plane: np.ndarray) -> np.ndarray:
+    """2×2 box-mean downsample (dims must be even)."""
+    h, w = plane.shape
+    return plane.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 85,
-                scan_order: tuple[int, ...] | None = None) -> bytes:
+                scan_order: tuple[int, ...] | None = None,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF bytes
-    (4:4:4, Annex-K tables, IJG quality scaling).  ``scan_order``
-    permutes the SOS component order (a spec-legal degree of freedom,
-    T.81 §B.2.3) — the MCU data is interleaved to match; used to prove
-    the decoder follows scan order rather than frame order."""
+    (Annex-K tables, IJG quality scaling).
+
+    ``subsampling``: ``"444"`` (every component full-resolution) or
+    ``"420"`` (chroma box-downsampled 2×2 — the dominant real-world
+    layout; Y sampling 2×2, chroma 1×1).  ``restart_interval`` emits a
+    DRI segment and an RSTn marker every N MCUs (T.81 §B.2.4.4).
+    ``scan_order`` permutes the SOS component order (spec-legal degree
+    of freedom, T.81 §B.2.3) — the MCU data is interleaved to match;
+    used to prove the decoder follows scan order, not frame order."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8 pixels")
@@ -238,7 +284,22 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     h, w = img.shape[:2]
     if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
         raise ValueError(f"bad image dims {h}x{w}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub420 = subsampling == "420" and not gray
     planes = [img.astype(np.float64)] if gray else _rgb_to_ycbcr(img)
+    if sub420:
+        # Y padded to multiples of 16 so the chroma planes (half-res)
+        # land on exact 8-pixel block multiples
+        y = np.pad(planes[0], ((0, (-h) % 16), (0, (-w) % 16)),
+                   mode="edge")
+        planes = [y, _box2(np.pad(planes[1],
+                                  ((0, (-h) % 16), (0, (-w) % 16)),
+                                  mode="edge")),
+                  _box2(np.pad(planes[2],
+                               ((0, (-h) % 16), (0, (-w) % 16)),
+                               mode="edge"))]
+    samp = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * len(planes)
 
     qts = [_scale_qt(QT_LUM, quality)]
     if not gray:
@@ -254,7 +315,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         q = np.rint(coef / qts[min(ci, 1)].reshape(8, 8)).astype(np.int64)
         zz_planes.append(q.reshape(q.shape[0], q.shape[1], 64)[:, :, ZIGZAG])
 
-    # entropy encode (interleaved MCU = one block per component)
+    # entropy encode: MCU = (h_i × v_i) blocks per component,
+    # components in scan order, raster over the MCU grid
     enc_dc = [_build_codes(DC_LUM_BITS, DC_LUM_VALS)]
     enc_ac = [_build_codes(AC_LUM_BITS, AC_LUM_VALS)]
     if not gray:
@@ -262,41 +324,30 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         enc_ac.append(_build_codes(AC_CHROM_BITS, AC_CHROM_VALS))
     bw = _BitWriter()
     prev_dc = [0] * len(planes)
-    nby, nbx = zz_planes[0].shape[:2]
     order = (tuple(range(len(planes))) if scan_order is None
              else tuple(scan_order))
     if sorted(order) != list(range(len(planes))):
         raise ValueError(f"scan_order must permute 0..{len(planes) - 1}")
-    for by in range(nby):
-        for bx in range(nbx):
+    nmcu_y = zz_planes[0].shape[0] // samp[0][1]
+    nmcu_x = zz_planes[0].shape[1] // samp[0][0]
+    mcu = 0
+    for mby in range(nmcu_y):
+        for mbx in range(nmcu_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0
+                                 + (mcu // restart_interval - 1) % 8])
+                prev_dc = [0] * len(planes)
             for ci in order:
+                hi, vi = samp[ci]
                 ti = min(ci, 1)
-                zz = zz_planes[ci][by, bx]
-                cat, bits = _magnitude(int(zz[0]) - prev_dc[ci])
-                prev_dc[ci] = int(zz[0])
-                code, ln = enc_dc[ti][cat]
-                bw.write(code, ln)
-                bw.write(bits, cat)
-                run = 0
-                nz = np.nonzero(zz[1:])[0]
-                last = nz[-1] + 1 if len(nz) else 0
-                for k in range(1, last + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = enc_ac[ti][0xF0]   # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    cat, bits = _magnitude(v)
-                    code, ln = enc_ac[ti][(run << 4) | cat]
-                    bw.write(code, ln)
-                    bw.write(bits, cat)
-                    run = 0
-                if last < 63:
-                    code, ln = enc_ac[ti][0x00]       # EOB
-                    bw.write(code, ln)
+                for v in range(vi):
+                    for h_ in range(hi):
+                        prev_dc[ci] = _encode_block(
+                            bw, zz_planes[ci][mby * vi + v,
+                                              mbx * hi + h_],
+                            prev_dc[ci], enc_dc[ti], enc_ac[ti])
+            mcu += 1
     bw.flush()
 
     # container
@@ -308,8 +359,11 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, min(ci, 1)])      # 1×1 sampling
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, min(ci, 1)])
     out += _seg(0xC0, sof)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     huffs = [(0x00, DC_LUM_BITS, DC_LUM_VALS),
              (0x10, AC_LUM_BITS, AC_LUM_VALS)]
     if not gray:
@@ -372,9 +426,12 @@ def _extend(v: int, cat: int) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (h, w, ch) uint8 (ch = 1 gray / 3 RGB).
 
-    Supports exactly the profile :func:`encode_jpeg` emits (baseline
-    sequential, 8-bit, 1×1 sampling, no restarts); anything else raises
-    ``NotImplementedError`` naming the unsupported feature."""
+    Profile: baseline sequential (SOF0), 8-bit, sampling 1×1 (4:4:4 /
+    grayscale) or Y 2×2 + chroma 1×1 (4:2:0, the dominant real-world
+    layout; chroma upsampled by pixel replication), restart intervals
+    honored (predictor reset + byte realignment at each RSTn).
+    Progressive (SOF2), arithmetic coding and other sampling layouts
+    raise ``NotImplementedError`` naming the unsupported feature."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -382,8 +439,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     sof = None
-    scan = None
+    segments = None
     sos_comps = None
+    dri = 0
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -427,10 +485,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = data[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "subsampled chroma (only 1x1 sampling supported)")
-                comps.append((cid, tq))
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            samps = [(hi, vi) for _, hi, vi, _ in comps]
+            if not (all(s == (1, 1) for s in samps)
+                    or (len(samps) == 3 and samps[0] == (2, 2)
+                        and samps[1] == samps[2] == (1, 1))):
+                raise NotImplementedError(
+                    f"sampling layout {samps}: only 4:4:4 (all 1x1) and "
+                    "4:2:0 (Y 2x2 + chroma 1x1) are implemented")
             sof = (ih, iw, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -438,15 +500,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"non-baseline JPEG (SOF marker 0x{marker:02X}: "
                 "progressive/arithmetic/lossless)")
         elif marker == 0xDD:                          # DRI
-            if struct.unpack(">H", data[:2])[0] != 0:
-                raise NotImplementedError("restart intervals")
+            dri = struct.unpack(">H", data[:2])[0]
         elif marker == 0xDA:                          # SOS
             ns = data[0]
             sos_comps = [(data[1 + 2 * i], data[2 + 2 * i] >> 4,
                           data[2 + 2 * i] & 0x0F) for i in range(ns)]
-            # entropy-coded scan runs to the next real marker
+            # entropy-coded scan runs to the next real marker; RSTn
+            # markers split it into restart segments (each byte-aligned
+            # with fresh DC predictors, T.81 §B.2.4.4)
             spos = pos
-            chunks = []
+            chunks: list[bytes] = []
+            segments = []
             while spos < n:
                 nf = payload.find(b"\xff", spos)
                 if nf < 0:
@@ -458,60 +522,82 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if nxt == 0x00:                       # stuffed 0xFF
                     chunks.append(b"\xff")
                     spos = nf + 2
-                elif 0xD0 <= nxt <= 0xD7:
-                    raise NotImplementedError("restart markers in scan")
+                elif 0xD0 <= nxt <= 0xD7:             # RSTn
+                    segments.append(b"".join(chunks))
+                    chunks = []
+                    spos = nf + 2
                 else:
                     spos = nf
                     break
-            scan = b"".join(chunks)
+            segments.append(b"".join(chunks))
             break
         # APPn / COM / others: skipped
-    if sof is None or scan is None or sos_comps is None:
+    if sof is None or segments is None or sos_comps is None:
         raise ValueError("truncated JPEG (no SOF/SOS)")
 
     ih, iw, comps = sof
-    nby, nbx = (ih + 7) // 8, (iw + 7) // 8
-    br = _BitReader(scan)
     ncomp = len(comps)
     if len(sos_comps) != ncomp:
         raise NotImplementedError(
             "multi-scan JPEG (SOS component count != frame components)")
-    zz_planes = [np.zeros((nby, nbx, 64), np.int64) for _ in range(ncomp)]
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    nmcu_y = (ih + 8 * vmax - 1) // (8 * vmax)
+    nmcu_x = (iw + 8 * hmax - 1) // (8 * hmax)
+    zz_planes = [np.zeros((nmcu_y * vi, nmcu_x * hi, 64), np.int64)
+                 for _, hi, vi, _ in comps]
     prev_dc = [0] * ncomp
     # MCU data is interleaved in SOS SCAN order (T.81 §B.2.3), which may
     # differ from SOF frame order — map each scan slot to its frame plane
-    comp_idx = {cid: i for i, (cid, _tq) in enumerate(comps)}
+    comp_idx = {cid: i for i, (cid, _hi, _vi, _tq) in enumerate(comps)}
     scan_order = [(comp_idx[cid], td, ta) for cid, td, ta in sos_comps]
-    for by in range(nby):
-        for bx in range(nbx):
+    br = _BitReader(segments[0])
+    mcu = 0
+    for mby in range(nmcu_y):
+        for mbx in range(nmcu_x):
+            if dri and mcu and mcu % dri == 0:
+                seg = mcu // dri
+                if seg >= len(segments):
+                    raise ValueError("missing JPEG restart segment")
+                br = _BitReader(segments[seg])
+                prev_dc = [0] * ncomp
             for ci, td, ta in scan_order:
+                _cid, hi, vi, _tq = comps[ci]
                 dct, act = dc_tabs[td], ac_tabs[ta]
-                zz = zz_planes[ci][by, bx]
-                cat = _decode_huffman(br, dct)
-                prev_dc[ci] += _extend(br.read_bits(cat), cat)
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k <= 63:
-                    rs = _decode_huffman(br, act)
-                    run, cat = rs >> 4, rs & 0x0F
-                    if cat == 0:
-                        if run == 15:                 # ZRL
-                            k += 16
-                            continue
-                        break                         # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient overrun")
-                    zz[k] = _extend(br.read_bits(cat), cat)
-                    k += 1
+                for v in range(vi):
+                    for h_ in range(hi):
+                        zz = zz_planes[ci][mby * vi + v, mbx * hi + h_]
+                        cat = _decode_huffman(br, dct)
+                        prev_dc[ci] += _extend(br.read_bits(cat), cat)
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k <= 63:
+                            rs = _decode_huffman(br, act)
+                            run, cat = rs >> 4, rs & 0x0F
+                            if cat == 0:
+                                if run == 15:         # ZRL
+                                    k += 16
+                                    continue
+                                break                 # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC coefficient overrun")
+                            zz[k] = _extend(br.read_bits(cat), cat)
+                            k += 1
+            mcu += 1
 
-    # dequantize + unzigzag + IDCT, vectorized per component
+    # dequantize + unzigzag + IDCT, vectorized per component; chroma
+    # upsampled back to full resolution by pixel replication
     planes = []
-    for ci, (cid, tq) in enumerate(comps):
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
         zz = zz_planes[ci] * qts[tq][None, None, :]
+        nby, nbx = zz.shape[:2]
         nat = zz[:, :, UNZIGZAG].reshape(nby, nbx, 8, 8).astype(np.float64)
         blocks = np.einsum("ji,abjk,kl->abil", _DCT_M, nat, _DCT_M) + 128.0
         plane = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        if hi < hmax or vi < vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
+                              hmax // hi, axis=1)
         planes.append(plane[:ih, :iw])
     if ncomp == 1:
         return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)[:, :, None]

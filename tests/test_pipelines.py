@@ -348,6 +348,24 @@ def test_jpeg_codec_roundtrip():
     assert (decode_jpeg(encode_jpeg(img, 90, scan_order=(2, 1, 0)))
             == decode_jpeg(j)).all()
 
+    # 4:2:0 chroma subsampling (the dominant real-world layout):
+    # uniform chroma survives exactly; smooth gradients stay bounded
+    out420 = decode_jpeg(encode_jpeg(img, 90, subsampling="420"))
+    err = np.abs(out420.astype(int) - img.astype(int))
+    assert out420.shape == img.shape and err.max() <= 15 and \
+        err.mean() < 4.0
+    assert (decode_jpeg(encode_jpeg(px, 90, subsampling="420"))
+            == px).all()
+
+    # restart intervals: RSTn segmentation + DC-predictor reset must
+    # reproduce the no-DRI decode bit-for-bit (same quantized coefs)
+    assert (decode_jpeg(encode_jpeg(img, 90, restart_interval=2))
+            == decode_jpeg(j)).all()
+    assert (decode_jpeg(encode_jpeg(img, 90, subsampling="420",
+                                    restart_interval=1,
+                                    scan_order=(2, 0, 1)))
+            == out420).all()
+
     # profile gates
     payload = bytearray(encode_jpeg(g, 90))
     i = payload.find(b"\xff\xc0")
@@ -356,14 +374,14 @@ def test_jpeg_codec_roundtrip():
         decode_jpeg(bytes(payload))
     payload = bytearray(encode_jpeg(img, 90))
     i = payload.find(b"\xff\xc0")
-    payload[i + 2 + 2 + 6 + 1] += 0x11          # comp 1 sampling 1x1→2x2
+    payload[i + 2 + 2 + 6 + 4] += 0x10          # comp 2 sampling → 2x1
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
     payload = bytearray(encode_jpeg(g, 90))
     i = payload.find(b"\xff\xda")
-    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
-    payload[i:i] = dri                          # inject DRI interval=8
-    with pytest.raises(NotImplementedError):
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 4)
+    payload[i:i] = dri                 # claim restarts that aren't there
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
 
     with pytest.raises(ValueError):
