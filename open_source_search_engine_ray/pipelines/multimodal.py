@@ -76,7 +76,12 @@ def _make_jpeg(doc_id: int) -> bytes:
              128 + 90 * np.cos((yy + xx) / 11 + phase[1]),
              128 + 80 * np.sin(xx / 5 + phase[2])]
     pixels = np.clip(np.stack(chans, -1), 0, 255).astype(np.uint8)
-    return encode_jpeg(pixels, quality=85)
+    # alternate the real-world profile knobs so the pipeline exercises
+    # every decoder path: 4:2:0 subsampling and restart intervals
+    return encode_jpeg(
+        pixels, quality=85,
+        subsampling="420" if doc_id % 8 < 4 else "444",
+        restart_interval=2 if doc_id % 16 < 8 else 0)
 
 
 def _make_wav(doc_id: int) -> bytes:
