@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text_analysis.lang_id,
         "lang_id_ngram": text_analysis.lang_id_ngram,
         "fingerprint_docs": text_analysis.fingerprint_docs,
+        "url_host_stats": text_analysis.url_host_stats,
         "top_terms": text_analysis.top_terms,
         # multimodal plumbing (decode stubbed, see module docstring)
         "multimodal_features": multimodal.multimodal_features,

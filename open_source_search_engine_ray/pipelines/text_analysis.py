@@ -305,6 +305,34 @@ def fingerprint_docs(sf_dir: str):
     return _read_docs(sf_dir).map_batches(fp, batch_format="pyarrow")
 
 
+def url_host_stats(sf_dir: str):
+    """→ (host, domain, n_urls) — URL parse/normalize (the ``Url.cpp``/
+    ``Punycode.cpp`` scalar family, functions/urlnorm.py) grouped by
+    normalized host.  The corpus has no URL column, so — like the
+    multimodal payloads — deterministic messy URLs derive from doc_id
+    (mixed case, default ports, dot-segments, %-escapes, IDN hosts) and
+    MUST all collapse to clean canonical hosts.  Rows-only driver check;
+    the normalization goldens are tests/test_pipelines.py."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..functions.urlnorm import normalize_url_batch, synth_url
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        urls = [synth_url(int(d)) for d in b["doc_id"].to_numpy()]
+        return normalize_url_batch(
+            pa.table({"doc_id": b["doc_id"],
+                      "url": pa.array(urls, pa.string())}))
+
+    return (ds.map_batches(attach, batch_format="pyarrow")
+            .groupby(["host", "domain"])
+            .aggregate(Count(alias_name="n_urls"))
+            .sort(["n_urls", "host"], descending=[True, False]))
+
+
 TOP_TERMS_K = 20
 MG_CAPACITY = 8192          # Misra-Gries counters per batch summary
 

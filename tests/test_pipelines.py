@@ -388,6 +388,38 @@ def test_jpeg_codec_roundtrip():
         decode_jpeg(b"\x89PNG not a jpeg")
 
 
+def test_url_normalize_goldens(entrymod):
+    """Url.cpp / Punycode.cpp analogue: RFC 3986 syntax normalization +
+    IDNA hosts, golden cases + idempotence + the grouped pipeline."""
+    from open_source_search_engine_ray.functions.urlnorm import (
+        domain_of, normalize_url, synth_url)
+
+    goldens = [
+        ("HTTP://Example.COM:80/a/b/../c#frag", "http://example.com/a/c"),
+        ("https://example.com:443/./x/y", "https://example.com/x/y"),
+        ("example.com/p%61th/%7Euser", "http://example.com/path/~user"),
+        ("http://münchen.example/", "http://xn--mnchen-3ya.example/"),
+        ("http://example.com.", "http://example.com/"),
+        ("http://example.com/a/../../b", "http://example.com/b"),
+        ("http://example.com/a/b/..", "http://example.com/a/"),
+        ("http://example.com/%2F?a=%2F", "http://example.com/%2F?a=%2F"),
+    ]
+    for raw, want in goldens:
+        assert normalize_url(raw) == want, raw
+        assert normalize_url(want) == want      # idempotent
+    assert domain_of("wiki.example.org") == "example.org"
+
+    df = entrymod.queries()["url_host_stats"](SF).to_pandas()
+    # every messy synthetic variant collapses to a canonical host:
+    # no uppercase, no trailing dots, no non-ASCII
+    assert int(df["n_urls"].sum()) == 500
+    hosts = set(df["host"])
+    assert all(h == h.lower() and not h.endswith(".") and h.isascii()
+               for h in hosts)
+    assert "xn--mnchen-3ya.example" in hosts
+    assert set(df.columns) == {"host", "domain", "n_urls"}
+
+
 def test_ivf_cosine_recall_anchor(entrymod):
     """IVF approximate top-k: per-query recall@10 vs the exact brute force
     ≥ 0.5 on average (nprobe/nlist = 8/32 scans ~25% of the corpus; the
