@@ -63,12 +63,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             transcripts_flagship.transcripts_search_parallel,
         "transcripts_search_lang":
             transcripts_flagship.transcripts_search_lang,
+        "transcripts_facet_lang":
+            transcripts_flagship.transcripts_facet_lang,
         "transcripts_delete_by_query":
             transcripts_flagship.transcripts_delete_by_query,
         # document search with SQL-replicable semantics
         "bm25_topk_docs": doc_search.bm25_topk_docs,
         "engine_bm25_docs": engine_docs.engine_bm25_docs,
         "doc_term_df": doc_search.doc_term_df,
+        "doc_facet_dl": doc_search.doc_facet_dl,
         # curation verification set — kept EARLY so a time-budgeted
         # driver sweep reaches them before the expensive Jaccard /
         # curate entries (curation_report warms the curated-set cache
@@ -131,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_docs": doc_search.bm25_topk_docs_sql(),
         "engine_bm25_docs": engine_docs.engine_bm25_docs_sql(),
         "doc_term_df": doc_search.doc_term_df_sql(),
+        "doc_facet_dl": doc_search.doc_facet_dl_sql(),
         "exact_dedup": dedup.exact_dedup_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(),

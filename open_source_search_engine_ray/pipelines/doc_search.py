@@ -211,6 +211,55 @@ ORDER BY query_id, rank
 """
 
 
+FACET_BUCKET = 16           # doc-length facet bucket width (tokens)
+
+
+def doc_facet_dl(sf_dir: str):
+    """→ (bucket, n_docs) — facet query over the documents corpus (the
+    ``gbfacetint:`` analogue, reference Query.cpp facet terms): every
+    document matching the first reference query (OR semantics) is
+    bucketed by its token count (``dl // FACET_BUCKET``) and counted —
+    the histogram covers the EXACT matching set, not a top-k page.
+    Fully SQL-replicable (same tokenizer contract as bm25_topk_docs)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    terms = set(tokenize_simple(DOC_QUERIES[0][1]))
+
+    def match(b: pa.Table) -> pa.Table:
+        buckets = []
+        for t in b["text"].to_pylist():
+            toks = tokenize_simple(t or "")
+            if terms.intersection(toks):
+                buckets.append(len(toks) // FACET_BUCKET)
+        return pa.table({"bucket": pa.array(buckets, pa.int64())})
+
+    return (_read_docs(sf_dir)
+            .map_batches(match, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Count(alias_name="n_docs"))
+            .sort("bucket"))
+
+
+def doc_facet_dl_sql() -> str:
+    terms = sorted(set(tokenize_simple(DOC_QUERIES[0][1])))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(coalesce(text, '')),
+                                    '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({in_list}))
+SELECT (dl.dl // {FACET_BUCKET})::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM m JOIN dl USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def doc_term_df(sf_dir: str):
     """→ (term, df) document frequency of every simple-token term."""
     import ray.data

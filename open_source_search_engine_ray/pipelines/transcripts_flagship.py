@@ -307,6 +307,33 @@ def transcripts_search_lang(sf_dir: str):
     })
 
 
+def transcripts_facet_lang(sf_dir: str):
+    """→ (query_id, facet_value, n_docs, total_matches) — facet queries
+    (the ``gbfacetstr:`` surface, reference Query.cpp facet terms): the
+    per-language histogram of each query's EXACT matching set
+    (``IndexSearcher.search_facets``).  Rows-only driver check; the
+    engine==brute-force identity is tests/test_budget_prior.py."""
+    from ..query.engine import IndexSearcher
+
+    idx_dir = ensure_index(sf_dir)
+    se = IndexSearcher(idx_dir)
+    out = {"query_id": [], "facet_value": [], "n_docs": [],
+           "total_matches": []}
+    for qid, q, _k in query_set()[:6]:
+        vals, counts, total = se.search_facets(q, facet="lang")
+        for v, c in zip(vals, counts):
+            out["query_id"].append(qid)
+            out["facet_value"].append(v)
+            out["n_docs"].append(int(c))
+            out["total_matches"].append(total)
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.string()),
+        "facet_value": pa.array(out["facet_value"], pa.string()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+        "total_matches": pa.array(out["total_matches"], pa.int64()),
+    })
+
+
 def transcripts_delete_by_query(sf_dir: str):
     """→ (query, n_deleted, n_hits_after, n_docs_after) — the
     query-driven delete (``PageReindex.cpp`` analogue,

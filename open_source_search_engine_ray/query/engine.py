@@ -526,6 +526,49 @@ class IndexSearcher:
         prior = language_prior(self.index_dir, qlang, w)
         return self.search(query, k, lang=qlang, doc_prior=prior)
 
+    def search_facets(self, query: str, facet: str = "lang",
+                      k_facets: int = 10, lang: str = "en",
+                      facet_table: tuple | None = None):
+        """Facet query — the ``gbfacetstr:``/``gbfacetint:`` analogue
+        (``Query.cpp:1388-1779`` facet terms; ``html/faq.html:360-361``
+        "facets over fields"): the histogram of a per-document attribute
+        over the EXACT matching set (``candidate_docs`` — every match,
+        not the top-k page), ranked (count desc, value asc).
+
+        Returns ``(values, counts, total_matches)``.  ``facet="lang"``
+        facets over the doclang classification (built from the live
+        docstore on first use, staleness-tokened); ``facet_table=
+        (sorted_doc_ids uint64, values)`` facets over any caller
+        attribute (the reference faceted arbitrary hashed fields)."""
+        from .kernel import candidate_docs
+
+        if facet_table is not None:
+            fids, fvals = facet_table
+            fvals = np.asarray(fvals)
+        elif facet == "lang":
+            from .langprior import load_doclang
+
+            fids, fvals = load_doclang(self.index_dir)
+        else:
+            raise ValueError(
+                f"unknown facet {facet!r}: use 'lang' or pass facet_table")
+        pq_ = parse_query(query, self.config.bigram_weight, lang=lang,
+                          position_mode=self.config.position_mode)
+        ids = candidate_docs(pq_, self._lists_for(pq_))
+        total = int(len(ids))
+        if total == 0:
+            return [], np.zeros(0, np.int64), 0
+        if len(fids) == 0:
+            vals = np.full(total, "unknown", dtype=object)
+        else:
+            pos = np.clip(np.searchsorted(fids, ids), 0, len(fids) - 1)
+            hit = fids[pos] == ids
+            vals = np.where(hit, fvals[pos], "unknown")
+        uniq, cnt = np.unique(vals, return_counts=True)
+        order = np.lexsort((uniq, -cnt))[:k_facets]
+        return [str(v) for v in uniq[order]], cnt[order].astype(np.int64), \
+            total
+
     def search_page(self, query: str, k: int = 10, offset: int = 0,
                     with_total: bool = False,
                     synonyms: dict[str, list[str]] | None = None,

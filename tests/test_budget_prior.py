@@ -189,6 +189,34 @@ def test_language_prior_build_and_rank_flip(ray_session, tmp_path):
     assert list(d1) == list(d2) and list(s1) == list(s2)
 
 
+def test_search_facets_matches_bruteforce(bp_index):
+    """Facet query (gbfacetstr analogue): the per-language histogram of
+    the EXACT matching set must equal a brute-force recount from the
+    doclang table over the oracle candidate set, for every reference
+    query; total_matches must equal search_page's exact total."""
+    from open_source_search_engine_ray.query.langprior import load_doclang
+    from open_source_search_engine_ray.sources.queryset import query_set
+
+    se = _searcher(bp_index)
+    fids, fvals = load_doclang(bp_index)
+    lang_of = dict(zip(fids.tolist(), fvals.tolist()))
+    for qid, q, _k in query_set():
+        vals, counts, total = se.search_facets(q, facet="lang",
+                                               k_facets=100)
+        docs, _, exact_total = se.search_page(q, se.n_docs,
+                                              with_total=True)
+        assert total == exact_total, qid
+        brute: dict[str, int] = {}
+        for d in docs:
+            brute[lang_of.get(int(d), "unknown")] = \
+                brute.get(lang_of.get(int(d), "unknown"), 0) + 1
+        got = dict(zip(vals, (int(c) for c in counts)))
+        assert got == brute, (qid, got, brute)
+        # ranked (count desc, value asc)
+        pairs = list(zip(vals, (int(c) for c in counts)))
+        assert pairs == sorted(pairs, key=lambda p: (-p[1], p[0])), qid
+
+
 def test_derived_tables_rebuild_after_maintenance(ray_session, tmp_path):
     """doclang.parquet and vocab.parquet embed the index-state token and
     REBUILD when the index is maintained after they were written — a
