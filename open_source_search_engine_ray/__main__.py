@@ -60,6 +60,9 @@ def main(argv=None) -> int:
     q.add_argument("--lang-weight", type=float, default=None)
     q.add_argument("--max-list-bytes", type=int, default=None,
                    help="per-term decoded-list cap (~30MB reference cap)")
+    q.add_argument("--facets", default=None, metavar="ATTR",
+                   help="facet histogram of ATTR ('lang') over the "
+                        "exact matching set (gbfacetstr analogue)")
 
     sg = sub.add_parser("suggest",
                         help="spell suggestions from the corpus vocab")
@@ -113,10 +116,18 @@ def main(argv=None) -> int:
                  args.timeout_ms is not None
                  or args.max_list_bytes is not None),
                 ("--qlang", args.qlang is not None),
-                ("--parallel", args.parallel)] if on]
+                ("--parallel", args.parallel),
+                ("--facets", args.facets is not None)] if on]
             if len(modes) > 1:
                 ap.error("query modes are mutually exclusive, got: "
                          + ", ".join(modes))
+            if args.facets is not None:
+                vals, counts, total = se.search_facets(
+                    args.q, facet=args.facets, k_facets=args.k)
+                for v, c in zip(vals, counts):
+                    print(f"{v:20s}  {int(c):10d}")
+                print(f"({total} matching docs)")
+                return 0
             t0 = time.time()
             if args.timeout_ms is not None or args.max_list_bytes is not None:
                 docs, scores, partial = se.search_budgeted(

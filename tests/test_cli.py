@@ -47,6 +47,17 @@ def test_cli_build_query_suggest(cli_corpus, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "hits in" in r.stdout
 
+    # facet histogram over the exact matching set (gbfacetstr analogue)
+    r = _run("query", "--index", idx, "--q", "w0042", "--facets", "lang")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "matching docs)" in r.stdout and "en" in r.stdout
+
+    # conflicting query modes fail loudly instead of silently picking one
+    r = _run("query", "--index", idx, "--q", "w0042", "--parallel",
+             "--qlang", "en")
+    assert r.returncode != 0
+    assert "mutually exclusive" in r.stderr
+
     # delete-by-query tombstones every match; the query then returns none
     r = _run("delete-query", "--index", idx, "--q", "w0042")
     assert r.returncode == 0, r.stderr[-2000:]
