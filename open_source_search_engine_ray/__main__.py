@@ -106,24 +106,28 @@ def main(argv=None) -> int:
         from .query.engine import IndexSearcher
         from .query.snippets import search_with_snippets
 
+        modes = [m for m, on in [
+            ("--snippets", args.snippets),
+            ("--timeout-ms/--max-list-bytes",
+             args.timeout_ms is not None
+             or args.max_list_bytes is not None),
+            ("--qlang", args.qlang is not None),
+            ("--parallel", args.parallel),
+            ("--facets", args.facets is not None)] if on]
+        if len(modes) > 1:
+            ap.error("query modes are mutually exclusive, got: "
+                     + ", ".join(modes))
         if args.snippets:
             print(search_with_snippets(args.index, args.q,
                                        args.k).to_pandas().to_string())
         else:
             se = IndexSearcher(args.index)
-            modes = [m for m, on in [
-                ("--timeout-ms/--max-list-bytes",
-                 args.timeout_ms is not None
-                 or args.max_list_bytes is not None),
-                ("--qlang", args.qlang is not None),
-                ("--parallel", args.parallel),
-                ("--facets", args.facets is not None)] if on]
-            if len(modes) > 1:
-                ap.error("query modes are mutually exclusive, got: "
-                         + ", ".join(modes))
             if args.facets is not None:
-                vals, counts, total = se.search_facets(
-                    args.q, facet=args.facets, k_facets=args.k)
+                try:
+                    vals, counts, total = se.search_facets(
+                        args.q, facet=args.facets, k_facets=args.k)
+                except ValueError as ex:
+                    ap.error(str(ex))
                 for v, c in zip(vals, counts):
                     print(f"{v:20s}  {int(c):10d}")
                 print(f"({total} matching docs)")

@@ -82,38 +82,71 @@ def _idna_host(host: str) -> str:
 
 
 def parse_url(url: str) -> dict:
-    """→ dict(scheme, host, port, path, query) of the NORMALIZED url.
-    A missing scheme defaults to http (``Url.cpp`` prepends it)."""
+    """→ dict(scheme, userinfo, host, ipv6, port, path, query) of the
+    NORMALIZED url.  A missing scheme defaults to http (``Url.cpp``
+    prepends it).  Liberal on malformed input (the reference indexed
+    malformed hosts verbatim): a non-numeric port survives as-is, an
+    IPv6 literal keeps its brackets and is lowercased only."""
     u = url.strip()
     if not _SCHEME_RE.match(u):
         u = "http://" + u
     p = urllib.parse.urlsplit(u)
     scheme = p.scheme.lower()
-    host = _idna_host(p.hostname or "")
-    port = p.port
-    if port is not None and DEFAULT_PORTS.get(scheme) == port:
-        port = None
+    netloc = p.netloc
+    userinfo = ""
+    hostport = netloc
+    if "@" in netloc:
+        userinfo, hostport = netloc.rsplit("@", 1)
+    if hostport.startswith("["):                  # IPv6 literal
+        raw_host, _, rest = hostport.partition("]")
+        host = raw_host[1:].lower()
+        port_raw = rest.lstrip(":")
+        ipv6 = True
+    else:
+        raw_host, _, port_raw = hostport.partition(":")
+        host = _idna_host(raw_host)
+        ipv6 = False
+    port: int | str | None = None
+    if port_raw:
+        if port_raw.isdigit():
+            port = int(port_raw)
+            if DEFAULT_PORTS.get(scheme) == port:
+                port = None
+        else:
+            port = port_raw                        # malformed: verbatim
     path = _remove_dot_segments(_norm_pct(p.path or "/"))
     query = _norm_pct(p.query)
-    return {"scheme": scheme, "host": host, "port": port,
-            "path": path, "query": query}
+    return {"scheme": scheme, "userinfo": userinfo, "host": host,
+            "ipv6": ipv6, "port": port, "path": path, "query": query}
 
 
-def normalize_url(url: str) -> str:
-    """Canonical string form: lowercased scheme+punycoded host, default
-    port stripped, dot-segments collapsed, unreserved %-escapes decoded,
-    fragment dropped."""
-    d = parse_url(url)
-    netloc = d["host"] + (f":{d['port']}" if d["port"] is not None else "")
+def _canonical(d: dict) -> str:
+    """Canonical string of a :func:`parse_url` dict — the ONE assembly
+    shared by the scalar and the batch kernel."""
+    netloc = d["userinfo"] + "@" if d["userinfo"] else ""
+    netloc += f"[{d['host']}]" if d["ipv6"] else d["host"]
+    if d["port"] is not None:
+        netloc += f":{d['port']}"
     out = f"{d['scheme']}://{netloc}{d['path']}"
     if d["query"]:
         out += "?" + d["query"]
     return out
 
 
+def normalize_url(url: str) -> str:
+    """Canonical string form: lowercased scheme+punycoded host, default
+    port stripped, dot-segments collapsed, unreserved %-escapes decoded,
+    fragment dropped; userinfo and IPv6 brackets preserved (RFC 3986 §6
+    keeps both — distinct resources must not collapse)."""
+    return _canonical(parse_url(url))
+
+
 def domain_of(host: str) -> str:
     """Registered-domain approximation: the last two labels (see module
-    docstring for the honest deviation from the reference's TLD table)."""
+    docstring for the honest deviation from the reference's TLD table).
+    IP literals (IPv6 contains ':') pass through whole."""
+    if ":" in host:
+        return host
     labels = host.split(".")
     return ".".join(labels[-2:]) if len(labels) >= 2 else host
 
@@ -131,12 +164,7 @@ def normalize_url_batch(batch: pa.Table,
             d = parse_url(u or "")
             hosts.append(d["host"])
             doms.append(domain_of(d["host"]))
-            netloc = d["host"] + (f":{d['port']}"
-                                  if d["port"] is not None else "")
-            s = f"{d['scheme']}://{netloc}{d['path']}"
-            if d["query"]:
-                s += "?" + d["query"]
-            norm.append(s)
+            norm.append(_canonical(d))
         except Exception:
             norm.append(None)
             hosts.append(None)

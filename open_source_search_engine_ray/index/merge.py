@@ -56,16 +56,22 @@ def index_state_token(out_dir: str) -> str:
     doclang) embed this token when written and rebuild when it no longer
     matches, so a maintained index never serves stale derived data."""
     h = hashlib.sha1()
-    for name in (GENERATIONS_FILE, TOMBSTONES_FILE):
-        p = os.path.join(out_dir, name)
-        try:
-            st = os.stat(p)
-        except FileNotFoundError:
-            continue
-        # stat fingerprint, not content hash: the token is recomputed on
-        # EVERY search_lang call (the prior-cache key), and both files
-        # are rewritten via os.replace so mtime_ns+size always moves
-        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    # generations.json is tiny (~KB) and every maintenance op rewrites
+    # it with a bumped `rev` + fresh `refreshed_at`, so hashing its
+    # CONTENT is both robust (no coarse-mtime/same-size window) and
+    # cheap enough for the per-query prior-cache key
+    p = _gens_path(out_dir)
+    try:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    except FileNotFoundError:
+        pass
+    t = os.path.join(out_dir, TOMBSTONES_FILE)
+    try:
+        st = os.stat(t)
+        h.update(f"tomb:{st.st_size}:{st.st_mtime_ns};".encode())
+    except FileNotFoundError:
+        pass
     return h.hexdigest()
 
 
@@ -78,6 +84,9 @@ def read_generations(out_dir: str) -> dict:
 
 
 def _write_generations(out_dir: str, doc: dict) -> None:
+    # monotonic revision: guarantees the serialized CONTENT differs on
+    # every write (index_state_token hashes it for staleness checks)
+    doc["rev"] = int(doc.get("rev", 0)) + 1
     tmp = _gens_path(out_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(doc, f)
@@ -462,12 +471,17 @@ def refresh_stats(out_dir: str) -> dict:
     return gens["live_stats"]
 
 
+_EMPTY_CDOC = np.zeros(0, np.uint64)
+_EMPTY_CWIN = np.zeros(0, np.int32)
+
+
 def _dead_mask_for(doc_ids: np.ndarray, gen: int, tomb_doc: np.ndarray,
                    tomb_dead: np.ndarray) -> np.ndarray:
+    """Tombstone half of :func:`live_keep_mask`, inverted."""
     if len(tomb_doc) == 0 or len(doc_ids) == 0:
         return np.zeros(len(doc_ids), dtype=bool)
-    idx = np.clip(np.searchsorted(tomb_doc, doc_ids), 0, len(tomb_doc) - 1)
-    return (tomb_doc[idx] == doc_ids) & (tomb_dead[idx] >= gen)
+    return ~live_keep_mask(doc_ids, gen, _EMPTY_CDOC, _EMPTY_CWIN,
+                           tomb_doc, tomb_dead)
 
 
 def _merge_decoded_parts(parts: list[tuple[int, dict]], tomb_doc, tomb_dead):

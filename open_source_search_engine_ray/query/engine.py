@@ -544,11 +544,18 @@ class IndexSearcher:
 
         if facet_table is not None:
             fids, fvals = facet_table
+            # uint64 is load-bearing: int64 fids would promote the
+            # searchsorted to float64 and misplace 2^53+ hash docIds
+            fids = np.asarray(fids, dtype=np.uint64)
             fvals = np.asarray(fvals)
+            if not (len(fids) == len(fvals)
+                    and np.all(fids[:-1] <= fids[1:])):
+                raise ValueError("facet_table must be (sorted ids, values) "
+                                 "of equal length")
         elif facet == "lang":
-            from .langprior import load_doclang
+            from .langprior import doclang_cached
 
-            fids, fvals = load_doclang(self.index_dir)
+            fids, fvals = doclang_cached(self.index_dir)
         else:
             raise ValueError(
                 f"unknown facet {facet!r}: use 'lang' or pass facet_table")

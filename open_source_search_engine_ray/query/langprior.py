@@ -118,13 +118,10 @@ def load_doclang(out_dir: str) -> tuple[np.ndarray, np.ndarray]:
             np.asarray(t["lang"].to_pylist(), dtype=object))
 
 
-def language_prior(out_dir: str, qlang: str,
-                   weight: float = DEFAULT_LANG_WEIGHT,
-                   _cache: dict = {}):
-    """→ ``(sorted_doc_ids, multipliers)`` for ``search(doc_prior=...)``:
-    docs classified as ``qlang`` keep score ×1.0, every other doc scores
-    ×``weight``.  The loaded table is cached per index dir, keyed on the
-    index-state token so any add/delete/compact invalidates it."""
+def doclang_cached(out_dir: str, _cache: dict = {}):
+    """:func:`load_doclang` behind a single-entry cache keyed on the
+    index-state token, so per-query consumers (language_prior,
+    search_facets) pay the parquet read once per index state."""
     from ..index.merge import index_state_token
 
     key = (out_dir, index_state_token(out_dir))
@@ -133,6 +130,15 @@ def language_prior(out_dir: str, qlang: str,
         _cache.clear()
         hit = load_doclang(out_dir)
         _cache[key] = hit
-    ids, langs = hit
+    return hit
+
+
+def language_prior(out_dir: str, qlang: str,
+                   weight: float = DEFAULT_LANG_WEIGHT):
+    """→ ``(sorted_doc_ids, multipliers)`` for ``search(doc_prior=...)``:
+    docs classified as ``qlang`` keep score ×1.0, every other doc scores
+    ×``weight``.  The loaded table is cached per index dir, keyed on the
+    index-state token so any add/delete/compact invalidates it."""
+    ids, langs = doclang_cached(out_dir)
     mults = np.where(langs == qlang, 1.0, float(weight))
     return ids, mults

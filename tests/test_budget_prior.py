@@ -216,6 +216,20 @@ def test_search_facets_matches_bruteforce(bp_index):
         pairs = list(zip(vals, (int(c) for c in counts)))
         assert pairs == sorted(pairs, key=lambda p: (-p[1], p[0])), qid
 
+    # caller-supplied facet tables: plain lists / int64 ids coerce to
+    # the uint64 the kernel needs (no silent float64 promotion), and an
+    # unsorted table is rejected loudly
+    q = query_set()[0][1]
+    v1, c1, t1 = se.search_facets(q, facet="lang", k_facets=100)
+    v2, c2, t2 = se.search_facets(
+        q, k_facets=100,
+        facet_table=(fids.astype(np.int64).tolist(), list(fvals)))
+    assert v1 == v2 and list(c1) == list(c2) and t1 == t2
+    with pytest.raises(ValueError):
+        se.search_facets(q, facet_table=(fids[::-1], fvals))
+    with pytest.raises(ValueError):
+        se.search_facets(q, facet="n_turns")
+
 
 def test_derived_tables_rebuild_after_maintenance(ray_session, tmp_path):
     """doclang.parquet and vocab.parquet embed the index-state token and

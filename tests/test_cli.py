@@ -57,6 +57,13 @@ def test_cli_build_query_suggest(cli_corpus, tmp_path):
              "--qlang", "en")
     assert r.returncode != 0
     assert "mutually exclusive" in r.stderr
+    r = _run("query", "--index", idx, "--q", "w0042", "--snippets",
+             "--facets", "lang")
+    assert r.returncode != 0
+    assert "mutually exclusive" in r.stderr
+    r = _run("query", "--index", idx, "--q", "w0042",
+             "--facets", "language")
+    assert r.returncode != 0 and "unknown facet" in r.stderr
 
     # delete-by-query tombstones every match; the query then returns none
     r = _run("delete-query", "--index", idx, "--q", "w0042")

@@ -403,6 +403,13 @@ def test_url_normalize_goldens(entrymod):
         ("http://example.com/a/../../b", "http://example.com/b"),
         ("http://example.com/a/b/..", "http://example.com/a/"),
         ("http://example.com/%2F?a=%2F", "http://example.com/%2F?a=%2F"),
+        # RFC 3986 §6 preserves userinfo and IPv6 brackets; malformed
+        # ports survive verbatim (be liberal — Url.cpp indexed them)
+        ("http://[::1]:8080/x", "http://[::1]:8080/x"),
+        ("http://[2001:DB8::1]:80/x", "http://[2001:db8::1]/x"),
+        ("http://alice@Example.com/x", "http://alice@example.com/x"),
+        ("http://example.com:99999/", "http://example.com:99999/"),
+        ("http://example.com:bad/a", "http://example.com:bad/a"),
     ]
     for raw, want in goldens:
         assert normalize_url(raw) == want, raw
