@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             transcripts_flagship.transcripts_search_lang,
         "transcripts_facet_lang":
             transcripts_flagship.transcripts_facet_lang,
+        "transcripts_related_terms":
+            transcripts_flagship.transcripts_related_terms,
         "transcripts_delete_by_query":
             transcripts_flagship.transcripts_delete_by_query,
         # document search with SQL-replicable semantics

@@ -334,6 +334,32 @@ def transcripts_facet_lang(sf_dir: str):
     })
 
 
+def transcripts_related_terms(sf_dir: str):
+    """→ (query_id, rank, term, n_result_docs) — the Gigabits
+    related-topics surface (``html/faq.html:333``):
+    ``IndexSearcher.related_terms`` over each reference query's result
+    page.  Rows-only driver check; the planted-topic and determinism
+    gates are tests/test_snippets.py."""
+    from ..query.engine import IndexSearcher
+
+    idx_dir = ensure_index(sf_dir)
+    se = IndexSearcher(idx_dir)
+    out = {"query_id": [], "rank": [], "term": [], "n_result_docs": []}
+    for qid, q, _k in query_set()[:6]:
+        for r, (term, n) in enumerate(se.related_terms(q, k_terms=5),
+                                      start=1):
+            out["query_id"].append(qid)
+            out["rank"].append(r)
+            out["term"].append(term)
+            out["n_result_docs"].append(int(n))
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "term": pa.array(out["term"], pa.string()),
+        "n_result_docs": pa.array(out["n_result_docs"], pa.int64()),
+    })
+
+
 def transcripts_delete_by_query(sf_dir: str):
     """→ (query, n_deleted, n_hits_after, n_docs_after) — the
     query-driven delete (``PageReindex.cpp`` analogue,

@@ -576,6 +576,18 @@ class IndexSearcher:
         return [str(v) for v in uniq[order]], cnt[order].astype(np.int64), \
             total
 
+    def related_terms(self, query: str, k_terms: int = 10,
+                      sample_docs: int = 100, lang: str = "en"):
+        """Related-topics summary of the result page — the Gigabits
+        surface (``html/faq.html:333``; generated in ``Msg40``'s result
+        post-processing).  → ``[(term, n_result_docs), ...]`` ranked
+        (count desc, term asc); see query/related.py for the contract."""
+        from .related import related_terms
+
+        return related_terms(self.index_dir, self, query,
+                             k_terms=k_terms, sample_docs=sample_docs,
+                             lang=lang)
+
     def search_page(self, query: str, k: int = 10, offset: int = 0,
                     with_total: bool = False,
                     synonyms: dict[str, list[str]] | None = None,

@@ -107,3 +107,50 @@ def test_export_snippets_distributed_matches_driver(snip_index):
         assert got["snippet"].tolist() == want["snippet"].tolist(), qid
         assert got["snippet_role"].tolist() == \
             want["snippet_role"].tolist(), qid
+
+
+def test_related_terms_gigabits(snip_index, ray_session, tmp_path):
+    """Gigabits analogue (faq.html:333): related terms of a result page.
+    Deterministic, query terms + stopwords excluded, and a PLANTED
+    co-occurring topic must surface first on its query."""
+    import pyarrow as pa
+    import ray.data
+
+    from open_source_search_engine_ray.index.build import build_index
+    from open_source_search_engine_ray.query.engine import IndexSearcher
+    from open_source_search_engine_ray.sources.transcripts import (
+        TRANSCRIPTS_SCHEMA, transcripts_dataset)
+
+    se = IndexSearcher(snip_index)
+    rel = se.related_terms("w0002", k_terms=8)
+    assert rel == se.related_terms("w0002", k_terms=8)   # deterministic
+    terms = [t for t, _ in rel]
+    assert "w0002" not in terms and "the" not in terms
+    assert all(n >= 1 for _, n in rel)
+    assert rel == sorted(rel, key=lambda p: (-p[1], p[0]))
+
+    # planted topic: every doc matching 'zephyrq' also contains
+    # 'quartzite' -> it must be the top related term
+    idx = str(tmp_path / "rel_idx")
+    rows = {"conv_id": [], "turn_idx": [], "role": [], "text": [],
+            "tool": [], "ts": []}
+    for i in range(12):
+        rows["conv_id"].append(f"conv-rel-{i}")
+        rows["turn_idx"].append(0)
+        rows["role"].append("user")
+        rows["text"].append(f"zephyrq quartzite filler{i} only{i}")
+        rows["tool"].append(None)
+        rows["ts"].append(0)
+    tbl = pa.table({
+        "conv_id": rows["conv_id"],
+        "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+        "role": rows["role"], "text": rows["text"],
+        "tool": pa.array(rows["tool"], pa.string()),
+        "ts": pa.array(rows["ts"], pa.timestamp("us")),
+    }).cast(TRANSCRIPTS_SCHEMA)
+    base = transcripts_dataset(30).materialize()
+    build_index(lambda: base.union(ray.data.from_arrow(tbl)), idx,
+                input_token="rel:planted")
+    se2 = IndexSearcher(idx)
+    rel2 = se2.related_terms("zephyrq", k_terms=5)
+    assert rel2[0] == ("quartzite", 12), rel2
