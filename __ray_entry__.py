@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_bm25_docs": engine_docs.engine_bm25_docs,
         "doc_term_df": doc_search.doc_term_df,
         "doc_facet_dl": doc_search.doc_facet_dl,
+        "doc_sortby_dl": doc_search.doc_sortby_dl,
         # curation verification set — kept EARLY so a time-budgeted
         # driver sweep reaches them before the expensive Jaccard /
         # curate entries (curation_report warms the curated-set cache
@@ -137,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_bm25_docs": engine_docs.engine_bm25_docs_sql(),
         "doc_term_df": doc_search.doc_term_df_sql(),
         "doc_facet_dl": doc_search.doc_facet_dl_sql(),
+        "doc_sortby_dl": doc_search.doc_sortby_dl_sql(),
         "exact_dedup": dedup.exact_dedup_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(),

@@ -260,6 +260,75 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+SORTBY_MIN_DL = 8            # gbmin analogue: range filter bounds
+SORTBY_MAX_DL = 160          # gbmax analogue
+SORTBY_K = 20
+
+
+def doc_sortby_dl(sf_dir: str):
+    """→ (rank, doc_id, dl) — sort-by-field query over the documents
+    corpus (the ``gbsortby:``/``gbmin:``/``gbmax:`` analogue, reference
+    Query.cpp:1700-1720): documents matching the second reference query
+    (OR semantics) with token count in [SORTBY_MIN_DL, SORTBY_MAX_DL],
+    top-SORTBY_K by (dl desc, doc_id asc) — attribute order, not
+    relevance.  Fully SQL-replicable."""
+    import ray.data
+
+    terms = set(tokenize_simple(DOC_QUERIES[1][1]))
+
+    def match(b: pa.Table) -> pa.Table:
+        ids, dls = [], []
+        for d, t in zip(b["doc_id"].to_numpy(), b["text"].to_pylist()):
+            toks = tokenize_simple(t or "")
+            n = len(toks)
+            if SORTBY_MIN_DL <= n <= SORTBY_MAX_DL and \
+                    terms.intersection(toks):
+                ids.append(int(d))
+                dls.append(n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "dl": pa.array(dls, pa.int64())})
+
+    def topk(df):
+        df = df.sort_values(["dl", "doc_id"],
+                            ascending=[False, True]).head(SORTBY_K)
+        df = df.reset_index(drop=True)
+        df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+        return df
+
+    ds = _read_docs(sf_dir).map_batches(match, batch_format="pyarrow")
+    # global top-k of a map-side-filtered set: tiny — one driver sort
+    import pandas as pd
+
+    df = ds.to_pandas()
+    if "doc_id" not in df.columns:
+        df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                           "dl": pd.Series([], dtype="int64")})
+    return topk(df)
+
+
+def doc_sortby_dl_sql() -> str:
+    terms = sorted(set(tokenize_simple(DOC_QUERIES[1][1])))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(coalesce(text, '')),
+                                    '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({in_list}))
+SELECT row_number() OVER (ORDER BY dl.dl DESC, m.doc_id ASC)
+           ::BIGINT AS rank,
+       m.doc_id, dl.dl::BIGINT AS dl
+FROM m JOIN dl USING (doc_id)
+WHERE dl.dl BETWEEN {SORTBY_MIN_DL} AND {SORTBY_MAX_DL}
+QUALIFY rank <= {SORTBY_K}
+ORDER BY rank
+"""
+
+
 def doc_term_df(sf_dir: str):
     """→ (term, df) document frequency of every simple-token term."""
     import ray.data

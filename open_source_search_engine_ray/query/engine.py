@@ -576,6 +576,47 @@ class IndexSearcher:
         return [str(v) for v in uniq[order]], cnt[order].astype(np.int64), \
             total
 
+    def search_sortby(self, query: str, attr_table: tuple, k: int = 10,
+                      descending: bool = True,
+                      min_val: float | None = None,
+                      max_val: float | None = None,
+                      lang: str = "en"):
+        """Sort-by-attribute query — the ``gbsortby:``/``gbsortbyint:``
+        + ``gbmin:``/``gbmax:`` surface (``Query.cpp:1700-1720,3150``):
+        the EXACT matching set (``candidate_docs``), filtered to
+        ``[min_val, max_val]`` on a per-document numeric attribute, then
+        top-k by (attribute, docId asc) instead of relevance.
+
+        ``attr_table`` is ``(sorted_doc_ids uint64, values numeric)``;
+        docs absent from the table are dropped (the reference only
+        returns docs that indexed the sort field).  Returns
+        ``(doc_ids, values)``."""
+        from .kernel import candidate_docs
+
+        fids, fvals = attr_table
+        fids = np.asarray(fids, dtype=np.uint64)
+        fvals = np.asarray(fvals, dtype=np.float64)
+        if not (len(fids) == len(fvals)
+                and np.all(fids[:-1] <= fids[1:])):
+            raise ValueError("attr_table must be (sorted ids, values) "
+                             "of equal length")
+        pq_ = parse_query(query, self.config.bigram_weight, lang=lang,
+                          position_mode=self.config.position_mode)
+        ids = candidate_docs(pq_, self._lists_for(pq_))
+        if len(ids) == 0 or len(fids) == 0:
+            return np.zeros(0, np.uint64), np.zeros(0, np.float64)
+        pos = np.clip(np.searchsorted(fids, ids), 0, len(fids) - 1)
+        hit = fids[pos] == ids
+        ids, vals = ids[hit], fvals[pos[hit]]
+        keep = np.ones(len(ids), dtype=bool)
+        if min_val is not None:
+            keep &= vals >= min_val
+        if max_val is not None:
+            keep &= vals <= max_val
+        ids, vals = ids[keep], vals[keep]
+        order = np.lexsort((ids, -vals if descending else vals))[:k]
+        return ids[order], vals[order]
+
     def related_terms(self, query: str, k_terms: int = 10,
                       sample_docs: int = 100, lang: str = "en"):
         """Related-topics summary of the result page — the Gigabits

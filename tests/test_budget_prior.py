@@ -231,6 +231,37 @@ def test_search_facets_matches_bruteforce(bp_index):
         se.search_facets(q, facet="n_turns")
 
 
+def test_search_sortby_matches_bruteforce(bp_index):
+    """gbsortby/gbmin/gbmax analogue: attribute-ordered results over the
+    exact matching set must equal a brute-force recount, both
+    directions, with and without range bounds."""
+    from open_source_search_engine_ray.query.langprior import load_doclang
+    from open_source_search_engine_ray.sources.queryset import query_set
+
+    se = _searcher(bp_index)
+    fids, _ = load_doclang(bp_index)          # one row per live doc
+    attr = (fids, (fids % np.uint64(97)).astype(np.float64))
+    for qid, q, _k in query_set()[:8]:
+        docs, _, total = se.search_page(q, se.n_docs, with_total=True)
+        match = np.sort(np.asarray(docs, dtype=np.uint64))
+        vals_all = match % np.uint64(97)
+        for desc, lo, hi in [(True, None, None), (False, None, None),
+                             (True, 10.0, 80.0)]:
+            ids, vals = se.search_sortby(q, attr, k=15, descending=desc,
+                                         min_val=lo, max_val=hi)
+            keep = np.ones(len(match), dtype=bool)
+            if lo is not None:
+                keep &= vals_all >= lo
+            if hi is not None:
+                keep &= vals_all <= hi
+            m, v = match[keep], vals_all[keep].astype(np.float64)
+            order = np.lexsort((m, -v if desc else v))[:15]
+            assert list(ids) == list(m[order]), (qid, desc, lo)
+            assert list(vals) == list(v[order]), (qid, desc, lo)
+    with pytest.raises(ValueError):
+        se.search_sortby("w0042", (fids[::-1], fids.astype(float)))
+
+
 def test_derived_tables_rebuild_after_maintenance(ray_session, tmp_path):
     """doclang.parquet and vocab.parquet embed the index-state token and
     REBUILD when the index is maintained after they were written — a
