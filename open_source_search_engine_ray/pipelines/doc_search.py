@@ -297,8 +297,6 @@ def doc_sortby_dl(sf_dir: str):
 
     ds = _read_docs(sf_dir).map_batches(match, batch_format="pyarrow")
     # global top-k of a map-side-filtered set: tiny — one driver sort
-    import pandas as pd
-
     df = ds.to_pandas()
     if "doc_id" not in df.columns:
         df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),

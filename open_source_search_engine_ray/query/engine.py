@@ -79,6 +79,31 @@ _EMPTY_U64 = np.zeros(0, np.uint64)
 _EMPTY_I32 = np.zeros(0, np.int32)
 
 
+def _check_attr_table(table: tuple, name: str):
+    """Validate a caller ``(sorted_doc_ids, values)`` table.  The uint64
+    id cast is load-bearing: int64 ids would promote the searchsorted
+    against uint64 candidates to float64 and misplace 2^53+ hash
+    docIds.  Values keep their dtype (facets take strings, sortby keeps
+    integer ordering exact)."""
+    fids, fvals = table
+    fids = np.asarray(fids, dtype=np.uint64)
+    fvals = np.asarray(fvals)
+    if not (len(fids) == len(fvals) and np.all(fids[:-1] <= fids[1:])):
+        raise ValueError(f"{name} must be (sorted ids, values) "
+                         "of equal length")
+    return fids, fvals
+
+
+def _attr_join(fids: np.ndarray, fvals: np.ndarray, ids: np.ndarray):
+    """Sorted-membership join: → ``(values aligned to ids, hit mask)``;
+    ``(None, all-False)`` when the table is empty."""
+    if len(fids) == 0:
+        return None, np.zeros(len(ids), dtype=bool)
+    pos = np.clip(np.searchsorted(fids, ids), 0, len(fids) - 1)
+    hit = fids[pos] == ids
+    return fvals[pos], hit
+
+
 def _slice_postings(tp: TermPostings, lo: int, hi: int
                     ) -> TermPostings | None:
     """Postings restricted to docIds in ``[lo, hi)`` — zero-copy views of
@@ -543,15 +568,7 @@ class IndexSearcher:
         from .kernel import candidate_docs
 
         if facet_table is not None:
-            fids, fvals = facet_table
-            # uint64 is load-bearing: int64 fids would promote the
-            # searchsorted to float64 and misplace 2^53+ hash docIds
-            fids = np.asarray(fids, dtype=np.uint64)
-            fvals = np.asarray(fvals)
-            if not (len(fids) == len(fvals)
-                    and np.all(fids[:-1] <= fids[1:])):
-                raise ValueError("facet_table must be (sorted ids, values) "
-                                 "of equal length")
+            fids, fvals = _check_attr_table(facet_table, "facet_table")
         elif facet == "lang":
             from .langprior import doclang_cached
 
@@ -565,12 +582,9 @@ class IndexSearcher:
         total = int(len(ids))
         if total == 0:
             return [], np.zeros(0, np.int64), 0
-        if len(fids) == 0:
-            vals = np.full(total, "unknown", dtype=object)
-        else:
-            pos = np.clip(np.searchsorted(fids, ids), 0, len(fids) - 1)
-            hit = fids[pos] == ids
-            vals = np.where(hit, fvals[pos], "unknown")
+        joined, hit = _attr_join(fids, fvals, ids)
+        vals = (np.where(hit, joined, "unknown") if joined is not None
+                else np.full(total, "unknown", dtype=object))
         uniq, cnt = np.unique(vals, return_counts=True)
         order = np.lexsort((uniq, -cnt))[:k_facets]
         return [str(v) for v in uniq[order]], cnt[order].astype(np.int64), \
@@ -587,27 +601,28 @@ class IndexSearcher:
         ``[min_val, max_val]`` on a per-document numeric attribute, then
         top-k by (attribute, docId asc) instead of relevance.
 
-        ``attr_table`` is ``(sorted_doc_ids uint64, values numeric)``;
-        docs absent from the table are dropped (the reference only
-        returns docs that indexed the sort field).  Returns
-        ``(doc_ids, values)``."""
+        ``attr_table`` is ``(sorted_doc_ids uint64, values numeric)`` —
+        integer values keep integer ordering (the gbsortbyint contract:
+        no float64 rounding above 2^53); docs absent from the table are
+        dropped (the reference only returns docs that indexed the sort
+        field).  Returns ``(doc_ids, values)``."""
         from .kernel import candidate_docs
 
-        fids, fvals = attr_table
-        fids = np.asarray(fids, dtype=np.uint64)
-        fvals = np.asarray(fvals, dtype=np.float64)
-        if not (len(fids) == len(fvals)
-                and np.all(fids[:-1] <= fids[1:])):
-            raise ValueError("attr_table must be (sorted ids, values) "
-                             "of equal length")
+        fids, fvals = _check_attr_table(attr_table, "attr_table")
+        if fvals.dtype.kind == "u":
+            if len(fvals) and int(fvals.max()) >= (1 << 63):
+                raise ValueError("uint64 attribute values >= 2^63 are "
+                                 "not sortable (int64 negate overflow)")
+            fvals = fvals.astype(np.int64)
+        elif fvals.dtype.kind not in "if":
+            fvals = np.asarray(fvals, dtype=np.float64)
         pq_ = parse_query(query, self.config.bigram_weight, lang=lang,
                           position_mode=self.config.position_mode)
         ids = candidate_docs(pq_, self._lists_for(pq_))
         if len(ids) == 0 or len(fids) == 0:
-            return np.zeros(0, np.uint64), np.zeros(0, np.float64)
-        pos = np.clip(np.searchsorted(fids, ids), 0, len(fids) - 1)
-        hit = fids[pos] == ids
-        ids, vals = ids[hit], fvals[pos[hit]]
+            return np.zeros(0, np.uint64), np.zeros(0, fvals.dtype)
+        joined, hit = _attr_join(fids, fvals, ids)
+        ids, vals = ids[hit], joined[hit]
         keep = np.ones(len(ids), dtype=bool)
         if min_val is not None:
             keep &= vals >= min_val
@@ -625,9 +640,8 @@ class IndexSearcher:
         (count desc, term asc); see query/related.py for the contract."""
         from .related import related_terms
 
-        return related_terms(self.index_dir, self, query,
-                             k_terms=k_terms, sample_docs=sample_docs,
-                             lang=lang)
+        return related_terms(self, query, k_terms=k_terms,
+                             sample_docs=sample_docs, lang=lang)
 
     def search_page(self, query: str, k: int = 10, offset: int = 0,
                     with_total: bool = False,

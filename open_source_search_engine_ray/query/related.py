@@ -21,17 +21,17 @@ from .parse import parse_query
 from .snippets import _docstore_rows
 
 
-def related_terms(index_dir: str, searcher, query: str,
+def related_terms(searcher, query: str,
                   k_terms: int = 10, sample_docs: int = 100,
                   lang: str = "en") -> list[tuple[str, int]]:
     """→ ``[(term, n_result_docs), ...]`` ranked (count desc, term asc).
 
-    ``searcher`` is an ``IndexSearcher`` over ``index_dir`` (passed in
-    so a serving loop reuses its decoded-list cache)."""
+    ``searcher`` is an ``IndexSearcher``; its ``index_dir`` locates the
+    doc store, so result docIds and texts always come from ONE index."""
     docs, _scores = searcher.search(query, sample_docs, lang=lang)
     if len(docs) == 0:
         return []
-    rows = _docstore_rows(index_dir, [int(d) for d in docs])
+    rows = _docstore_rows(searcher.index_dir, [int(d) for d in docs])
     if rows is None:
         return []
     # exclusion set: the query's raw tokens + stopwords of its language

@@ -78,4 +78,6 @@ def test_normalize_url_idempotent(scheme, host, port, path, frag):
     assert not d["host"].endswith(".")
     assert d["host"].isascii()
     assert d["path"].startswith("/") and "/../" not in d["path"] + "/"
-    assert domain_of(d["host"]) in d["host"] or ":" in d["host"]
+    labels = d["host"].split(".")
+    want = ".".join(labels[-2:]) if len(labels) >= 2 else d["host"]
+    assert domain_of(d["host"]) == want
