@@ -590,6 +590,43 @@ class IndexSearcher:
         return [str(v) for v in uniq[order]], cnt[order].astype(np.int64), \
             total
 
+    def search_docids(self, query: str, doc_ids, k: int = 10,
+                      lang: str = "en"):
+        """DocId-restricted search — the ``gbdocid:`` surface
+        (``Query.cpp:287-297`` ``m_docIdRestriction``): evaluate the
+        query over ONLY the given documents and return their top-k by
+        the normal relevance order.  Scores are identical to the
+        unrestricted search (df/idf stay global — the same contract as
+        the parallel path's range slices), so the result equals
+        filtering a full-depth search to this doc set."""
+        restrict = np.unique(np.asarray(list(doc_ids), dtype=np.uint64))
+        pq_ = parse_query(query, self.config.bigram_weight, lang=lang,
+                          position_mode=self.config.position_mode)
+        lists = self._lists_for(pq_)
+        from ..functions.ragged import ragged_select
+        from .kernel import in_sorted
+
+        sliced: dict[int, TermPostings | None] = {}
+        for tid, tp in lists.items():
+            if tp is None:
+                sliced[tid] = None
+                continue
+            m = in_sorted(tp.doc_ids, restrict)
+            if not m.any():
+                sliced[tid] = None
+                continue
+            positions = None
+            if tp.positions is not None:
+                flat, offs = tp.positions
+                positions = ragged_select(
+                    flat, offs, np.nonzero(m)[0].astype(np.int64))
+            sliced[tid] = TermPostings(
+                doc_ids=tp.doc_ids[m], tfs=tp.tfs[m], dl=tp.dl[m],
+                df=int(tp.df), positions=positions, block_max=None)
+        # prune=False: block-max bounds belong to the full lists
+        return evaluate(pq_, sliced, self.n_docs, self.avgdl,
+                        self.config, k, prune=False)
+
     def search_sortby(self, query: str, attr_table: tuple, k: int = 10,
                       descending: bool = True,
                       min_val: float | None = None,

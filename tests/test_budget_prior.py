@@ -262,6 +262,32 @@ def test_search_sortby_matches_bruteforce(bp_index):
         se.search_sortby("w0042", (fids[::-1], fids.astype(float)))
 
 
+def test_search_docids_restriction(bp_index):
+    """gbdocid analogue: a docId-restricted search must equal filtering
+    a full-depth search to the restriction set — identical docs AND
+    scores (df/idf stay global) — for every reference query and several
+    restriction shapes (subset of hits, misses mixed in, empty)."""
+    from open_source_search_engine_ray.sources.queryset import query_set
+
+    se = _searcher(bp_index)
+    for qid, q, _k in query_set()[:8]:
+        docs, scores = se.search(q, se.n_docs)
+        if len(docs) == 0:
+            continue
+        # every other hit, plus ids that match nothing
+        subset = np.asarray(docs[::2], dtype=np.uint64)
+        probe = np.concatenate([subset, np.asarray([1, 2**60],
+                                                   np.uint64)])
+        rd, rs = se.search_docids(q, probe, k=10)
+        keep = np.isin(np.asarray(docs, np.uint64), subset)
+        want_d = np.asarray(docs, np.uint64)[keep][:10]
+        want_s = np.asarray(scores)[keep][:10]
+        assert list(rd) == list(want_d), qid
+        assert list(rs) == list(want_s), qid
+    rd, rs = se.search_docids("w0042", [], k=5)
+    assert len(rd) == 0
+
+
 def test_derived_tables_rebuild_after_maintenance(ray_session, tmp_path):
     """doclang.parquet and vocab.parquet embed the index-state token and
     REBUILD when the index is maintained after they were written — a
