@@ -104,6 +104,24 @@ def _attr_join(fids: np.ndarray, fvals: np.ndarray, ids: np.ndarray):
     return fvals[pos], hit
 
 
+def _select_postings(tp: TermPostings,
+                     sel: np.ndarray) -> TermPostings | None:
+    """Postings at sorted row indices ``sel`` (fancy-index copy) — the
+    restricted-list contract shared with :func:`_slice_postings`: ``df``
+    stays GLOBAL (idf unchanged), ``block_max`` dropped (bounds belong
+    to the full list), empty → ``None`` (absent-term semantics)."""
+    if len(sel) == 0:
+        return None
+    positions = None
+    if tp.positions is not None:
+        from ..functions.ragged import ragged_select
+
+        positions = ragged_select(*tp.positions, sel)
+    return TermPostings(doc_ids=tp.doc_ids[sel], tfs=tp.tfs[sel],
+                        dl=tp.dl[sel], df=int(tp.df),
+                        positions=positions, block_max=None)
+
+
 def _slice_postings(tp: TermPostings, lo: int, hi: int
                     ) -> TermPostings | None:
     """Postings restricted to docIds in ``[lo, hi)`` — zero-copy views of
@@ -603,26 +621,18 @@ class IndexSearcher:
         pq_ = parse_query(query, self.config.bigram_weight, lang=lang,
                           position_mode=self.config.position_mode)
         lists = self._lists_for(pq_)
-        from ..functions.ragged import ragged_select
-        from .kernel import in_sorted
-
         sliced: dict[int, TermPostings | None] = {}
         for tid, tp in lists.items():
-            if tp is None:
+            if tp is None or len(tp.doc_ids) == 0:
                 sliced[tid] = None
                 continue
-            m = in_sorted(tp.doc_ids, restrict)
-            if not m.any():
-                sliced[tid] = None
-                continue
-            positions = None
-            if tp.positions is not None:
-                flat, offs = tp.positions
-                positions = ragged_select(
-                    flat, offs, np.nonzero(m)[0].astype(np.int64))
-            sliced[tid] = TermPostings(
-                doc_ids=tp.doc_ids[m], tfs=tp.tfs[m], dl=tp.dl[m],
-                df=int(tp.df), positions=positions, block_max=None)
+            # probe the SMALL side into the list: O(|restrict| log n)
+            # per term, not O(n log |restrict|) — a hot-term list is
+            # orders of magnitude longer than a candidate set
+            idx = np.minimum(np.searchsorted(tp.doc_ids, restrict),
+                             len(tp.doc_ids) - 1)
+            found = tp.doc_ids[idx] == restrict
+            sliced[tid] = _select_postings(tp, idx[found].astype(np.int64))
         # prune=False: block-max bounds belong to the full lists
         return evaluate(pq_, sliced, self.n_docs, self.avgdl,
                         self.config, k, prune=False)
